@@ -1,0 +1,301 @@
+"""Potential energy functions: LJ, harmonic oscillator, ideal gas.
+
+TPU-native counterpart of reference chiron/potential.py.
+
+Every potential provides:
+
+* ``compute_energy(positions, nbr_list)`` -- host-facing, reference-parity API
+  (reference potential.py:215-279).
+* ``compute_force(positions, nbr_list)`` -- exact ``-jax.grad`` of the energy
+  (reference potential.py:21-24); differentiability through the energy is the
+  framework invariant that makes the MCMC engine "differentiable".
+* ``make_energy_fn(pairs)`` -- returns a **pure jittable closure**
+  ``(positions, list_state) -> energy`` for use inside on-device loops
+  (``lax.scan`` integrators, MC chains, sharded replica propagation).  This is
+  the TPU-core entry point; the class methods above are thin shells over it.
+
+The masked energy uses the safe-``where`` pattern (mask applied both inside
+and outside the distance function) so ``jax.grad`` never sees NaN/Inf from
+padded slots -- stricter than the reference's bare ``mask * e`` at
+potential.py:208-213.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from . import units
+from .neighbors import (
+    NeighborListNsqrd,
+    NeighborListState,
+    PairListNsqrd,
+    PairListState,
+    PairsBase,
+    neighbor_calculate_fn,
+    pairlist_calculate_fn,
+)
+from .topology import Topology
+
+
+def lj_energy_from_dist(dist, mask, sigma, epsilon):
+    """Masked LJ energy sum: 4 eps [(sig/r)^12 - (sig/r)^6] over valid pairs.
+
+    Safe under jax.grad: padded slots contribute exactly zero to both the
+    value and the gradient.
+    """
+    maskf = mask.astype(dist.dtype)
+    r_safe = jnp.where(maskf > 0, dist, 1.0)
+    sr6 = (sigma / r_safe) ** 6
+    e = 4.0 * epsilon * (sr6 * sr6 - sr6)
+    return jnp.sum(maskf * e)
+
+
+class NeuralNetworkPotential:
+    """Base potential (reference potential.py:7-63).
+
+    Subclasses implement ``compute_energy``; the force is always the exact
+    negative gradient, so any new potential is automatically differentiable.
+    """
+
+    def __init__(self, model=None, **kwargs):
+        if model is not None:
+            self.model = model
+            self.topology = model.potential.topology
+
+    def compute_energy(self, positions, nbr_list=None):
+        raise NotImplementedError
+
+    def compute_force(self, positions, nbr_list=None) -> jnp.ndarray:
+        """Force = -grad(E) (reference potential.py:21-24)."""
+        return -jax.grad(self.compute_energy)(positions, nbr_list)
+
+    def compute_pairlist(self, positions, cutoff):
+        """Naive O(N^2) pairlist without PBC (reference potential.py:26-63).
+
+        Debug/testing path; returns variable-length arrays so it must be
+        called outside jit.
+        """
+        pids = jnp.arange(positions.shape[0])
+        pairs1, pairs2 = jnp.meshgrid(pids, pids)
+        pairs1 = pairs1.flatten()
+        pairs2 = pairs2.flatten()
+        mask = jnp.where(pairs1 < pairs2)
+        pairs1 = pairs1[mask]
+        pairs2 = pairs2[mask]
+        displacement_vectors = positions[pairs1] - positions[pairs2]
+        distance = jnp.linalg.norm(displacement_vectors, axis=1)
+        interacting = jnp.where(distance < cutoff)
+        pairs = jnp.stack((pairs1[interacting], pairs2[interacting]), axis=0)
+        return distance[interacting], displacement_vectors[interacting], pairs
+
+
+class IdealGasPotential(NeuralNetworkPotential):
+    """U == 0 everywhere: for barostat/ensemble testing
+    (reference potential.py:66-127)."""
+
+    def __init__(self, topology: Optional[Topology]):
+        if topology is not None and not isinstance(topology, (Topology, property)):
+            raise TypeError(
+                f"Topology must be a Topology object, a property, or None, "
+                f"got type(topology) = {type(topology)}"
+            )
+        self.topology = topology
+
+    def compute_energy(self, positions, nbr_list=None):
+        return 0.0
+
+    def compute_force(self, positions, nbr_list=None):
+        return 0.0
+
+    def make_energy_fn(self, pairs=None) -> Callable:
+        def energy_fn(positions, list_state=None):
+            return jnp.asarray(0.0, dtype=positions.dtype)
+
+        return energy_fn
+
+
+class LJPotential(NeuralNetworkPotential):
+    """Lennard-Jones 12-6 potential (reference potential.py:130-332)."""
+
+    def __init__(
+        self,
+        topology: Optional[Topology],
+        sigma: units.Quantity = 3.350 * units.angstroms,
+        epsilon: units.Quantity = 1.0 * units.kilocalories_per_mole,
+        cutoff: units.Quantity = units.Quantity(1.0, units.nanometer),
+    ):
+        # Constructor validation mirrors reference potential.py:154-178.
+        if topology is not None and not isinstance(topology, (Topology, property)):
+            raise TypeError(
+                f"Topology must be a Topology object or None, "
+                f"type(topology) = {type(topology)}"
+            )
+        for name, q in (("sigma", sigma), ("epsilon", epsilon), ("cutoff", cutoff)):
+            if not isinstance(q, units.Quantity):
+                raise TypeError(
+                    f"{name} must be a unit.Quantity, type({name}) = {type(q)}"
+                )
+        if not sigma.unit.is_compatible(units.angstrom):
+            raise ValueError(f"sigma must have units of distance, got {sigma.unit}")
+        if not epsilon.unit.is_compatible(units.kilocalories_per_mole):
+            raise ValueError(f"epsilon must have units of energy, got {epsilon.unit}")
+        if not cutoff.unit.is_compatible(units.nanometer):
+            raise ValueError(f"cutoff must have units of distance, got {cutoff.unit}")
+
+        self.sigma = float(sigma.value_in_unit_system(units.md_unit_system))
+        self.epsilon = float(epsilon.value_in_unit_system(units.md_unit_system))
+        self.cutoff = float(cutoff.value_in_unit_system(units.md_unit_system))
+        self.topology = topology
+
+    # -- host-facing API ----------------------------------------------------
+    def compute_energy(self, positions: jnp.ndarray, nbr_list=None):
+        """Total LJ energy (reference potential.py:215-279)."""
+        if nbr_list is None:
+            # Debug path: naive O(N^2) pairlist without PBC.
+            distances, _, _ = self.compute_pairlist(positions, self.cutoff)
+            if distances.shape[0] == 0:
+                return 0.0
+            sr6 = (self.sigma / distances) ** 6
+            return (4.0 * self.epsilon * (sr6 * sr6 - sr6)).sum()
+
+        if not nbr_list.is_built:
+            raise ValueError("Neighborlist must be built before use")
+        if nbr_list.cutoff.value_in_unit_system(units.md_unit_system) != self.cutoff:
+            raise ValueError(
+                f"Neighborlist cutoff ({nbr_list.cutoff}) must be the same as "
+                f"the potential cutoff ({self.cutoff})"
+            )
+        _, _, mask, dist, _ = nbr_list.calculate(positions)
+        return lj_energy_from_dist(dist, mask, self.sigma, self.epsilon)
+
+    def compute_force_analytical(self, positions: jnp.ndarray) -> jnp.ndarray:
+        """Closed-form LJ force for testing (reference potential.py:302-332)."""
+        dist, displacement_vector, pairs = self.compute_pairlist(
+            positions, self.cutoff
+        )
+        forces = (
+            24.0
+            * (self.epsilon / (dist * dist))
+            * (2.0 * (self.sigma / dist) ** 12 - (self.sigma / dist) ** 6)
+        ).reshape(-1, 1) * displacement_vector
+        force_array = jnp.zeros((positions.shape[0], 3))
+        force_array = force_array.at[pairs[0]].add(forces)
+        force_array = force_array.at[pairs[1]].add(-forces)
+        return force_array
+
+    # -- TPU functional core -------------------------------------------------
+    def make_energy_fn(self, pairs: PairsBase) -> Callable:
+        """Pure closure ``(positions, list_state) -> energy`` for device loops.
+
+        Static config (space, cutoff presence, capacity) comes from ``pairs``;
+        box vectors travel inside ``list_state`` so barostat box changes do
+        not recompile (SURVEY.md section 7 'hard parts').
+        """
+        sigma, epsilon, cutoff = self.sigma, self.epsilon, self.cutoff
+
+        if pairs is None:
+            # Jittable dense path (no PBC), the on-device analogue of the
+            # reference's debug pairlist (reference potential.py:235-258).
+            def energy_fn(positions, list_state=None):
+                n = positions.shape[0]
+                ids = jnp.arange(n)
+                half = ids[:, None] < ids[None, :]
+                diff = positions[:, None, :] - positions[None, :, :]
+                r2 = jnp.sum(diff * diff, axis=-1)
+                # Mask *before* the sqrt: d(sqrt)/dx at r=0 (the diagonal) is
+                # NaN and would poison jax.grad even for masked-out entries.
+                r2_safe = jnp.where(half, r2, 1.0)
+                dist = jnp.sqrt(r2_safe)
+                mask = half & (dist < cutoff)
+                return lj_energy_from_dist(dist, mask, sigma, epsilon)
+
+            return energy_fn
+
+        space = pairs.space
+
+        if isinstance(pairs, NeighborListNsqrd):
+
+            def energy_fn(positions, list_state: NeighborListState):
+                _, mask, dist, _ = neighbor_calculate_fn(
+                    list_state, positions, cutoff, space
+                )
+                return lj_energy_from_dist(dist, mask, sigma, epsilon)
+
+        elif isinstance(pairs, PairListNsqrd):
+            use_cutoff = pairs.cutoff is not None
+            cut = pairs.cutoff_md if use_cutoff else jnp.inf
+
+            def energy_fn(positions, list_state: PairListState):
+                _, mask, dist, _ = pairlist_calculate_fn(
+                    list_state, positions, cut, space, use_cutoff
+                )
+                return lj_energy_from_dist(dist, mask, sigma, epsilon)
+
+        else:
+            raise TypeError(f"Unsupported pairs type: {type(pairs)}")
+
+        return energy_fn
+
+
+class HarmonicOscillatorPotential(NeuralNetworkPotential):
+    """U(x) = (k/2) sum (x - x0)^2 + U0 (reference potential.py:335-428)."""
+
+    def __init__(
+        self,
+        topology: Optional[Topology],
+        k: units.Quantity = 1.0 * units.kilocalories_per_mole / units.angstrom ** 2,
+        x0: units.Quantity = None,
+        U0: units.Quantity = 0.0 * units.kilocalories_per_mole,
+    ):
+        if x0 is None:
+            x0 = units.Quantity(jnp.array([[0.0, 0.0, 0.0]]), units.angstrom)
+        if topology is not None and not isinstance(topology, (Topology, property)):
+            raise TypeError(
+                f"Topology must be a Topology object or None, "
+                f"type(topology) = {type(topology)}"
+            )
+        for name, q in (("k", k), ("x0", x0), ("U0", U0)):
+            if not isinstance(q, units.Quantity):
+                raise TypeError(
+                    f"{name} must be a unit.Quantity, type({name}) = {type(q)}"
+                )
+        if not k.unit.is_compatible(units.kilocalories_per_mole / units.angstrom ** 2):
+            raise ValueError(
+                f"k must be a unit.Quantity with units of energy per distance "
+                f"squared, k.unit = {k.unit}"
+            )
+        if not x0.unit.is_compatible(units.angstrom):
+            raise ValueError(
+                f"positions must be a unit.Quantity with units of distance, "
+                f"positions.unit = {x0.unit}"
+            )
+        if x0.shape[1] != 3:
+            raise ValueError(
+                f"positions must be a NX3 vector, positions.shape = {x0.shape}"
+            )
+        if not U0.unit.is_compatible(units.kilocalories_per_mole):
+            raise ValueError(
+                f"U0 must be a unit.Quantity with units of energy, U0.unit = {U0.unit}"
+            )
+
+        self.k = jnp.asarray(k.value_in_unit_system(units.md_unit_system))
+        self.x0 = jnp.asarray(x0.value_in_unit_system(units.md_unit_system))
+        self.U0 = jnp.asarray(U0.value_in_unit_system(units.md_unit_system))
+        self.topology = topology
+
+    def compute_energy(self, positions: jnp.ndarray, nbr_list=None):
+        d = positions - self.x0
+        return 0.5 * self.k * jnp.sum(d ** 2) + self.U0
+
+    def make_energy_fn(self, pairs=None) -> Callable:
+        k, x0, U0 = self.k, self.x0, self.U0
+
+        def energy_fn(positions, list_state=None):
+            d = positions - x0
+            return 0.5 * k * jnp.sum(d ** 2) + U0
+
+        return energy_fn

@@ -1,0 +1,24 @@
+"""Shared fixtures for the chiron-tpu test suite.
+
+Tests run on whatever JAX backend is available (TPU on the benchmark host,
+CPU in CI).  Multi-device sharding tests live in tests/test_parallel.py and
+spawn a subprocess with a forced 8-device CPU topology (SURVEY.md section 4:
+``xla_force_host_platform_device_count`` is the no-cluster multi-device test
+mechanism).
+"""
+
+import os
+import sys
+
+# Ensure the repo root is importable when running `pytest tests/`.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture
+def prng_seed():
+    from chiron_tpu.utils import PRNG
+
+    PRNG.set_seed(1234)
+    return 1234

@@ -1,0 +1,90 @@
+"""Unit-system tests: the construction boundary everything else leans on."""
+
+import numpy as np
+import pytest
+
+from chiron_tpu import units as u
+
+
+def test_md_unit_system_identities():
+    # 1 kJ/mol is the MD energy unit (dalton nm^2 / ps^2).
+    assert (1.0 * u.kilojoule_per_mole).value_in_unit_system(
+        u.md_unit_system
+    ) == pytest.approx(1.0)
+    assert (1.0 * u.kilocalories_per_mole).value_in_unit_system(
+        u.md_unit_system
+    ) == pytest.approx(4.184)
+    assert (1.0 * u.nanometer).value_in_unit_system(u.md_unit_system) == 1.0
+    assert (1.0 * u.angstrom).value_in_unit_system(u.md_unit_system) == pytest.approx(
+        0.1
+    )
+    assert (2.0 * u.femtoseconds).value_in_unit_system(
+        u.md_unit_system
+    ) == pytest.approx(0.002)
+    assert (39.9 * u.amu).value_in_unit_system(u.md_unit_system) == pytest.approx(39.9)
+
+
+def test_kbt_in_md_units():
+    kbT = u.BOLTZMANN_CONSTANT_kB * u.AVOGADRO_CONSTANT_NA * (300 * u.kelvin)
+    # RT at 300 K = 2.494 kJ/mol
+    assert kbT.value_in_unit_system(u.md_unit_system) == pytest.approx(
+        2.49434, rel=1e-4
+    )
+    assert u.kB_MD == pytest.approx(0.008314462618, rel=1e-9)
+
+
+def test_pressure_conversion():
+    # 1 bar = 0.0602214 kJ/mol/nm^3
+    assert u.pressure_to_md(1.0 * u.bar) == pytest.approx(0.0602214076, rel=1e-6)
+    assert u.pressure_to_md(1.0 * u.atmosphere) == pytest.approx(
+        0.0610193, rel=1e-4
+    )
+    with pytest.raises(ValueError):
+        u.pressure_to_md(1.0 * u.kelvin)
+
+
+def test_compatibility_checks():
+    assert u.nanometer.is_compatible(u.angstrom)
+    assert not u.nanometer.is_compatible(u.picosecond)
+    assert (u.kilocalorie_per_mole / u.angstrom ** 2).is_compatible(
+        u.kilojoule_per_mole / u.nanometer ** 2
+    )
+    assert (u.nanometer / u.picosecond).is_compatible(u.meter / u.second)
+    assert u.bar.is_compatible(u.atmosphere)
+
+
+def test_quantity_arithmetic():
+    q = 0.5 * u.nanometer + 1.0 * u.angstrom
+    assert q.value_in_unit(u.nanometer) == pytest.approx(0.6)
+    assert (2.0 * u.nanometer / (1.0 * u.picosecond)).unit.is_compatible(
+        u.meter / u.second
+    )
+    assert ((2.0 * u.nanometer) ** 3).value_in_unit(
+        u.nanometer ** 3
+    ) == pytest.approx(8.0)
+    with pytest.raises(TypeError):
+        _ = 1.0 * u.nanometer + 1.0  # bare number
+
+
+def test_array_quantities():
+    pos = np.ones((4, 3)) * u.nanometer
+    assert isinstance(pos, u.Quantity)
+    assert pos.value_in_unit_system(u.md_unit_system).shape == (4, 3)
+    assert pos[0].value_in_unit(u.angstrom) == pytest.approx(10.0)
+
+
+def test_reduced_potential_dimensionless():
+    beta = 1.0 / (u.BOLTZMANN_CONSTANT_kB * (300 * u.kelvin))
+    e = u.Quantity(10.0, u.kilojoule_per_mole) / u.AVOGADRO_CONSTANT_NA
+    red = beta * e
+    assert red.unit.is_dimensionless()
+    assert red.value_in_unit_system(u.md_unit_system) == pytest.approx(
+        10.0 / 2.49434, rel=1e-4
+    )
+
+
+def test_strip_md():
+    assert u.strip_md(1.5) == 1.5
+    assert u.strip_md(3.0 * u.angstrom, u.nanometer) == pytest.approx(0.3)
+    with pytest.raises(ValueError):
+        u.strip_md(3.0 * u.picosecond, u.nanometer)
