@@ -1,0 +1,76 @@
+"""Benchmark driver: LJ-fluid (N=4000) Langevin throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is the BASELINE.json north-star: LJ-fluid Langevin steps/sec per
+chip.  The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` is measured against the BASELINE.json *target* of 1e6
+steps/min (= 16666.7 steps/sec) on one v5e chip: vs_baseline > 1.0 means the
+target is beaten.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from chiron_tpu import units
+    from chiron_tpu.neighbors import NeighborListNsqrd, OrthogonalPeriodicSpace
+    from chiron_tpu.runtime import make_langevin_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    n_particles = 4000
+    n_steps_warmup = 200
+    n_steps_bench = 2000
+
+    fluid = LennardJonesFluid(nparticles=n_particles, reduced_density=0.8)
+    nbr = NeighborListNsqrd(
+        OrthogonalPeriodicSpace(),
+        cutoff=fluid.cutoff,
+        skin=0.5 * units.nanometer,
+        n_max_neighbors=128,
+    )
+
+    runner = make_langevin_runner(
+        potential=fluid.potential,
+        pairs=nbr,
+        topology=fluid.topology,
+        temperature=120.0 * units.kelvin,
+        timestep=2.0 * units.femtoseconds,
+    )
+    state = runner.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=1234,
+    )
+
+    # warmup: compile + first rebuilds
+    state = runner.run(state, n_steps_warmup)
+    jax.block_until_ready(state.x)
+
+    t0 = time.perf_counter()
+    state = runner.run(state, n_steps_bench)
+    jax.block_until_ready(state.x)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps_bench / dt
+    target = 1e6 / 60.0  # BASELINE.json: 1e6 steps/min on one v5e chip
+    print(
+        json.dumps(
+            {
+                "metric": "lj_fluid_n4000_langevin_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,21 @@ from .space import OrthogonalNonPeriodicSpace, OrthogonalPeriodicSpace, Space
 from .topology import Topology
 from .utils import PRNG
 
+
+def __getattr__(name):
+    # Lazy submodule access (keeps `import chiron_tpu` light).
+    import importlib
+
+    submodules = {
+        "analysis", "checkpoint", "integrators", "mcmc", "minimize",
+        "multistate", "neighbors", "ops", "parallel", "potential",
+        "profiling", "reporters", "runtime", "states", "testsystems",
+    }
+    if name in submodules:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "units",
     "Space",

@@ -1,0 +1,215 @@
+"""Free-energy analysis: a standalone MBAR implementation.
+
+TPU-native counterpart of reference chiron/analysis.py, which wraps
+``pymbar.MBAR`` (not available here).  We implement the multistate Bennett
+acceptance ratio estimator (Shirts & Chodera, J. Chem. Phys. 129, 124105,
+2008) from scratch:
+
+* the self-consistent MBAR equations are iterated in float64 on the host
+  (free-energy estimation is an analysis step, not a hot path -- SURVEY.md
+  section 5), with a Newton-Raphson polish for quadratic convergence,
+* weights are exposed for computing observable expectations,
+* a jittable float32 JAX path (`mbar_solve_jax`) is provided for on-device /
+  differentiable use inside adaptive-sampling loops.
+
+API parity: ``MBAREstimator.initialize(u_kn, N_k)``, ``.f_k``,
+``.get_free_energy_difference()`` (reference analysis.py:4-63; note the
+reference's ``get_free_energy_difference`` returns the never-assigned
+``self.mbar_f_k[-1]`` -- a latent bug documented in SURVEY.md section 2 --
+whereas we return the proper end-state difference).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger("chiron_tpu")
+
+
+def _logsumexp(a: np.ndarray, axis=None, b: Optional[np.ndarray] = None):
+    a = np.asarray(a, dtype=np.float64)
+    a_max = np.max(a, axis=axis, keepdims=True)
+    a_max = np.where(np.isfinite(a_max), a_max, 0.0)
+    if b is not None:
+        s = np.sum(b * np.exp(a - a_max), axis=axis, keepdims=True)
+    else:
+        s = np.sum(np.exp(a - a_max), axis=axis, keepdims=True)
+    out = np.log(s) + a_max
+    if axis is not None:
+        out = np.squeeze(out, axis=axis)
+    else:
+        out = out.reshape(())
+    return out
+
+
+def mbar_solve(
+    u_kn: np.ndarray,
+    N_k: np.ndarray,
+    tol: float = 1.0e-10,
+    max_sc_iterations: int = 2000,
+    max_newton_iterations: int = 50,
+) -> np.ndarray:
+    """Solve the MBAR equations for dimensionless free energies f_k.
+
+    Parameters
+    ----------
+    u_kn : (K, N) array
+        Reduced potential of every sample n evaluated at every state k.
+    N_k : (K,) array
+        Number of samples drawn from each state; sum(N_k) == N.
+
+    Returns
+    -------
+    f_k : (K,) float64 array with f_k[0] == 0.
+
+    Notes
+    -----
+    Self-consistent iteration
+        f_k = -ln sum_n exp(-u_kn - ln sum_j N_j exp(f_j - u_jn))
+    followed by Newton-Raphson on the gradient of the MBAR objective
+        g_k = N_k - N_k sum_n W_kn,   W_kn = exp(f_k - u_kn)/sum_j N_j exp(f_j - u_jn)
+    """
+    u_kn = np.asarray(u_kn, dtype=np.float64)
+    N_k = np.asarray(N_k, dtype=np.float64)
+    K, N = u_kn.shape
+    if N_k.shape != (K,):
+        raise ValueError(f"N_k must have shape ({K},), got {N_k.shape}")
+    if int(N_k.sum()) != N:
+        raise ValueError(
+            f"sum(N_k) = {int(N_k.sum())} must equal the number of samples N = {N}"
+        )
+
+    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
+    f_k = np.zeros(K)
+
+    def log_denominator(f):
+        # ln sum_j N_j exp(f_j - u_jn), shape (N,)
+        return _logsumexp((f + log_N_k)[:, None] - u_kn, axis=0)
+
+    # -- self-consistent warm-up ------------------------------------------
+    for _ in range(max_sc_iterations):
+        log_denom = log_denominator(f_k)
+        f_new = -_logsumexp(-u_kn - log_denom[None, :], axis=1)
+        f_new -= f_new[0]
+        delta = np.max(np.abs(f_new - f_k))
+        f_k = f_new
+        if delta < 1e-6:
+            break
+
+    # -- Newton polish on states 1..K-1 (f_0 pinned to 0) ------------------
+    for _ in range(max_newton_iterations):
+        log_denom = log_denominator(f_k)  # (N,)
+        # W_kn = exp(f_k - u_kn - log_denom)
+        logW = f_k[:, None] - u_kn - log_denom[None, :]
+        W = np.exp(logW)  # (K, N)
+        NW = N_k[:, None] * W
+        g = N_k - NW.sum(axis=1)  # gradient, (K,)
+        # Hessian H_ij = -N_i N_j sum_n W_in W_jn  (i != j)
+        #         H_ii = N_i sum_n W_in (1 - N_i W_in)
+        H = -NW @ NW.T / 1.0
+        np.fill_diagonal(H, (NW * (1.0 - NW)).sum(axis=1))
+        # Solve on the reduced system (drop state 0).
+        # Newton step on F(f): f <- f - H^-1 grad(F), with grad(F) = -g.
+        try:
+            df = np.linalg.solve(H[1:, 1:], g[1:])
+        except np.linalg.LinAlgError:
+            break
+        f_k[1:] += df
+        f_k -= f_k[0]
+        if np.max(np.abs(df)) < tol:
+            break
+
+    return f_k
+
+
+def mbar_weights(u_kn: np.ndarray, N_k: np.ndarray, f_k: np.ndarray) -> np.ndarray:
+    """Normalized MBAR weight matrix W_kn (each row sums to 1)."""
+    u_kn = np.asarray(u_kn, dtype=np.float64)
+    N_k = np.asarray(N_k, dtype=np.float64)
+    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
+    log_denom = _logsumexp((f_k + log_N_k)[:, None] - u_kn, axis=0)
+    logW = f_k[:, None] - u_kn - log_denom[None, :]
+    return np.exp(logW)
+
+
+def mbar_solve_jax(
+    u_kn: jnp.ndarray, N_k: jnp.ndarray, n_iterations: int = 500
+) -> jnp.ndarray:
+    """Jittable fixed-iteration MBAR self-consistent solve (float32).
+
+    For on-device use (e.g. online analysis inside an adaptive multistate
+    loop).  The host solver is the precision reference.
+    """
+    u_kn = jnp.asarray(u_kn)
+    N_k = jnp.asarray(N_k, dtype=u_kn.dtype)
+    log_N_k = jnp.log(jnp.maximum(N_k, 1e-30))
+
+    def body(f_k, _):
+        log_denom = jax.nn.logsumexp(
+            (f_k + log_N_k)[:, None] - u_kn, axis=0
+        )
+        f_new = -jax.nn.logsumexp(-u_kn - log_denom[None, :], axis=1)
+        f_new = f_new - f_new[0]
+        return f_new, None
+
+    f0 = jnp.zeros(u_kn.shape[0], dtype=u_kn.dtype)
+    f_k, _ = jax.lax.scan(body, f0, length=n_iterations)
+    return f_k
+
+
+class MBAREstimator:
+    """Reference-parity MBAR front-end (reference analysis.py:4-63)."""
+
+    def __init__(self) -> None:
+        self.f_k_: Optional[np.ndarray] = None
+        self._u_kn: Optional[np.ndarray] = None
+        self._N_k: Optional[np.ndarray] = None
+
+    def initialize(self, u_kn: np.ndarray, N_k) -> None:
+        """Solve MBAR for the given reduced-potential samples.
+
+        Accepts either a 2D ``(K, N)`` matrix, or the reporter's stacked 3D
+        ``(n_iterations, n_states, n_replicas)`` layout, which is flattened
+        so sample n = (replica, iteration) (reference analysis.py:31-35).
+        """
+        u_kn = np.asarray(u_kn, dtype=np.float64)
+        N_k = np.asarray(N_k, dtype=np.int64)
+        if u_kn.ndim == 3:
+            t, s, r = u_kn.shape
+            # (T, S, R) -> (S, R, T) -> (S, R*T)
+            u_kn = np.transpose(u_kn, (1, 2, 0)).reshape(s, r * t)
+        if u_kn.ndim != 2:
+            raise ValueError(f"u_kn must be 2D or 3D, got shape {u_kn.shape}")
+        self._u_kn = u_kn
+        self._N_k = N_k
+        self.f_k_ = mbar_solve(u_kn, N_k)
+        log.debug("MBAR f_k = %s", self.f_k_)
+
+    @property
+    def f_k(self) -> np.ndarray:
+        """Dimensionless free energy per state, f_k[0] == 0."""
+        if self.f_k_ is None:
+            raise RuntimeError("MBAREstimator.initialize must be called first")
+        return self.f_k_
+
+    def get_free_energy_difference(self) -> float:
+        """Delta f between the two end states (f_K-1 - f_0).
+
+        The reference returns ``self.mbar_f_k[-1]`` where ``mbar_f_k`` is
+        never assigned after ``initialize`` (latent upstream bug, reference
+        analysis.py:63); since f_k[0] == 0 the intended value is exactly
+        f_k[-1], which we return.
+        """
+        return float(self.f_k[-1])
+
+    def compute_expectation(self, A_n: np.ndarray, state_index: int = 0):
+        """<A> at state ``state_index`` via MBAR weights."""
+        W = mbar_weights(self._u_kn, self._N_k, self.f_k_)
+        w = W[state_index]
+        w = w / w.sum()
+        return float(np.dot(w, np.asarray(A_n, dtype=np.float64)))

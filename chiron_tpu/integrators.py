@@ -218,15 +218,26 @@ class LangevinIntegrator:
         if nbr_list is not None:
             nbr_list.build_from_state(sampler_state)
 
-        nbr_state = (
-            nbr_list.state if isinstance(nbr_list, NeighborListNsqrd) else None
-        )
+        # The list state (either kind) travels in the carry so box vectors
+        # and neighbor tables are always current data -- never closure
+        # constants that could go stale between runs (e.g. after a barostat
+        # move changed the box).
+        if isinstance(nbr_list, NeighborListNsqrd):
+            nbr_state = nbr_list.state
+        elif isinstance(nbr_list, PairListNsqrd):
+            from dataclasses import replace as _replace
+
+            nbr_state = _replace(nbr_list.state, box_vectors=box)
+        else:
+            nbr_state = None
 
         # Build (and memoize) the compiled step function.  The cache keeps
         # repeated `run` calls (e.g. from LangevinDynamicsMove inside an MCMC
         # loop) from re-tracing the scan every iteration.
         cache_key = (
-            id(potential),
+            potential.cache_token()
+            if hasattr(potential, "cache_token")
+            else id(potential),
             type(nbr_list).__name__ if nbr_list is not None else None,
             getattr(nbr_list, "n_max_neighbors", None),
             x0.shape[0],
@@ -240,12 +251,6 @@ class LangevinIntegrator:
                     energy_fn = potential.make_energy_fn(None)
                 except (TypeError, NotImplementedError):
                     energy_fn = lambda x, s: potential.compute_energy(x, None)
-            elif isinstance(nbr_list, PairListNsqrd):
-                # The all-pairs structure is static during NVT dynamics; bind
-                # its state (incl. box vectors) into the closure.
-                pair_energy = potential.make_energy_fn(nbr_list)
-                pair_state = nbr_list.state
-                energy_fn = lambda x, s: pair_energy(x, pair_state)
             else:
                 energy_fn = potential.make_energy_fn(nbr_list)
             self._step_cache_key = cache_key

@@ -1,0 +1,23 @@
+"""Multi-device (TPU mesh) execution for chiron-tpu.
+
+The reference has no distribution machinery at all (SURVEY.md section 2
+checklist: replicas are propagated in a serial Python loop, reference
+chiron/multistate.py:497-510).  This package adds the genuinely new
+capability the north star mandates: replica-parallel sampling over a
+``jax.sharding.Mesh``, with XLA collectives over ICI.
+
+* :mod:`chiron_tpu.parallel.mesh` -- mesh construction helpers.
+* :mod:`chiron_tpu.parallel.tempering` -- ``ParallelTemperingSampler``:
+  replicas stacked on a leading axis, propagated by ONE compiled program
+  (temperature as data, not as per-state closures) and sharded across
+  devices with ``shard_map``.
+"""
+
+from .mesh import make_replica_mesh, replica_sharding
+from .tempering import ParallelTemperingSampler
+
+__all__ = [
+    "make_replica_mesh",
+    "replica_sharding",
+    "ParallelTemperingSampler",
+]

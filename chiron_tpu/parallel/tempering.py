@@ -1,0 +1,373 @@
+"""Replica-parallel tempering over a TPU mesh.
+
+This is the flagship distributed workload (BASELINE.md: "64-replica parallel
+tempering on v5e-8 with near-linear scaling") and is new capability relative
+to the reference, whose MultiStateSampler loops replicas serially on the host
+(reference chiron/multistate.py:497-510).
+
+Design (TPU-first):
+
+* All replica state is stacked on a leading axis R: positions (R, N, 3),
+  velocities (R, N, 3), PRNG keys (R, 2), temperatures (R,).  One BAOAB
+  chain is compiled with the temperature as *data*, so a single XLA program
+  serves every temperature (no per-state closures / recompiles).
+* Propagation = ``shard_map`` of ``vmap(chain)`` over the mesh's replica
+  axis: each chip integrates its replica block independently -- embarrassing
+  parallelism with zero inter-chip traffic during dynamics.
+* Replica exchange needs only the per-replica potential energies U_r (an
+  (R,)-vector, all-gathered over ICI implicitly by the out-sharding) plus a
+  host-side even/odd sweep of the temperature ladder.  Swap traffic is O(R)
+  scalars per iteration -- negligible vs. the dynamics, hence near-linear
+  scaling.
+* On a temperature swap the *temperatures move between replicas* (not the
+  configurations), and velocities are rescaled by sqrt(T_new/T_old) so the
+  kinetic energy stays consistent with the new ensemble.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from .. import units
+from ..analysis import MBAREstimator
+from ..neighbors import (
+    NeighborListNsqrd,
+    PairListNsqrd,
+    neighbor_build_fn,
+    neighbor_check_fn,
+)
+from ..utils import initialize_velocities_md
+from .mesh import make_replica_mesh
+
+log = logging.getLogger("chiron_tpu")
+
+
+def make_pt_chain_fn(
+    energy_fn: Callable,
+    masses: jnp.ndarray,
+    timestep: float,
+    collision_rate: float,
+    pairs=None,
+) -> Callable:
+    """Single-replica BAOAB chain with temperature as a traced argument.
+
+    Returns ``chain(x, v, key, box, list_state, kT, n_steps) ->
+    (x, v, key, list_state, U_final, overflowed)``.
+    """
+    dt = jnp.float32(timestep)
+    a = jnp.exp(-collision_rate * dt)
+    b = jnp.sqrt(1.0 - jnp.exp(-2.0 * collision_rate * dt))
+    force_fn = jax.grad(lambda x, s: -energy_fn(x, s))
+
+    has_nbr = isinstance(pairs, NeighborListNsqrd)
+    if has_nbr:
+        space = pairs.space
+        cutoff_and_skin = pairs.cutoff_md + pairs.skin_md
+        skin = pairs.skin_md
+        capacity = pairs.n_max_neighbors
+    elif isinstance(pairs, PairListNsqrd):
+        space = pairs.space
+    else:
+        space = None
+
+    def chain(x, v, key, box, list_state, kT, n_steps: int):
+        sigma_v = jnp.sqrt(kT / masses)
+
+        def step(carry, _):
+            x, v, F, key, list_state, overflowed = carry
+            key, subkey = jax.random.split(key)
+            v = v + (dt * 0.5) * F / masses
+            x = x + (dt * 0.5) * v
+            noise = jax.random.normal(subkey, x.shape, dtype=x.dtype)
+            v = a * v + b * sigma_v * noise
+            x = x + (dt * 0.5) * v
+            if space is not None:
+                x = space.wrap(x, box)
+            if has_nbr:
+                need = neighbor_check_fn(list_state, x, skin, space)
+                list_state = jax.lax.cond(
+                    need,
+                    lambda: neighbor_build_fn(
+                        x, box, cutoff_and_skin, space, capacity
+                    ),
+                    lambda: list_state,
+                )
+                overflowed = overflowed | list_state.overflow
+            F = force_fn(x, list_state)
+            v = v + (dt * 0.5) * F / masses
+            return (x, v, F, key, list_state, overflowed), None
+
+        F0 = force_fn(x, list_state)
+        (x, v, _, key, list_state, overflowed), _ = jax.lax.scan(
+            step, (x, v, F0, key, list_state, jnp.asarray(False)),
+            length=n_steps,
+        )
+        U = energy_fn(x, list_state)
+        return x, v, key, list_state, U, overflowed
+
+    return chain
+
+
+class ParallelTemperingSampler:
+    """Parallel tempering with replicas sharded across a TPU mesh.
+
+    Parameters
+    ----------
+    potential
+        A chiron-tpu potential shared by all replicas (temperatures differ).
+    temperatures
+        The ladder, one entry per replica (list of Quantity or kelvin floats).
+    timestep, collision_rate
+        Langevin parameters (Quantity or MD-unit floats).
+    pairs
+        Optional NeighborListNsqrd/PairListNsqrd spec (template; per-replica
+        state is built on device).
+    mesh
+        ``jax.sharding.Mesh`` with a ``replica`` axis.  Defaults to all
+        local devices.  len(temperatures) must be divisible by mesh size.
+    """
+
+    def __init__(
+        self,
+        potential,
+        temperatures: List,
+        timestep=2.0 * units.femtoseconds,
+        collision_rate=1.0 / units.picoseconds,
+        pairs=None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.potential = potential
+        self.temps_md = np.array(
+            [units.strip_md(t, units.kelvin) for t in temperatures],
+            dtype=np.float32,
+        )
+        self.kTs = jnp.asarray(self.temps_md * units.kB_MD)
+        self.n_replicas = len(self.temps_md)
+        self.timestep = units.strip_md(timestep, units.picosecond)
+        self.collision_rate = units.strip_md(
+            collision_rate, 1.0 / units.picosecond
+        )
+        self.pairs = pairs
+        self.mesh = mesh if mesh is not None else make_replica_mesh()
+        n_dev = self.mesh.devices.size
+        if self.n_replicas % n_dev != 0:
+            raise ValueError(
+                f"Number of replicas ({self.n_replicas}) must be divisible "
+                f"by the mesh size ({n_dev})."
+            )
+        self._chain = None
+        self._u_history: List[np.ndarray] = []
+        self._temp_history: List[np.ndarray] = []
+        self.n_accepted_swaps = 0
+        self.n_proposed_swaps = 0
+        self._iteration = 0
+        self._estimator = MBAREstimator()
+
+    # -- setup ---------------------------------------------------------------
+    def initialize(self, positions, box_vectors=None, masses=None, seed: int = 1234):
+        """Stack R copies of the initial configuration and build lists."""
+        x0 = jnp.asarray(units.strip_md(positions, units.nanometer))
+        if masses is None:
+            masses = self.potential.topology.masses()
+        self.masses = jnp.asarray(np.asarray(masses), dtype=jnp.float32)[:, None]
+
+        R = self.n_replicas
+        self.positions = jnp.tile(x0[None], (R, 1, 1))
+        keys = jax.random.split(jax.random.PRNGKey(seed), R + 1)
+        self.keys = keys[1:]
+        # Per-replica Maxwell-Boltzmann velocities at each temperature.
+        self.velocities = jax.vmap(
+            lambda kT, key: initialize_velocities_md(
+                kT / units.kB_MD, self.masses, key
+            )
+        )(self.kTs, self.keys)
+        self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
+
+        if box_vectors is not None:
+            box = jnp.asarray(units.strip_md(box_vectors, units.nanometer))
+            self.box_vectors = jnp.tile(box[None], (R, 1, 1))
+        else:
+            self.box_vectors = None
+
+        # Build per-replica list states (identical initially) on device.
+        if isinstance(self.pairs, NeighborListNsqrd):
+            # Size capacity on the host build (grow-retry), then rebuild
+            # the stacked states with the final capacity.
+            self.pairs.build(x0, None if box_vectors is None else box)
+            build = lambda x, b: neighbor_build_fn(
+                x, b, self.pairs.cutoff_md + self.pairs.skin_md,
+                self.pairs.space, self.pairs.n_max_neighbors,
+            )
+            self.list_state = jax.vmap(build)(
+                self.positions, self.box_vectors
+            )
+        elif isinstance(self.pairs, PairListNsqrd):
+            from ..neighbors import pairlist_build_fn
+
+            self.pairs.build(x0, None if box_vectors is None else box)
+            self.list_state = jax.vmap(pairlist_build_fn)(
+                self.positions, self.box_vectors
+            )
+        else:
+            self.list_state = None
+
+        energy_fn = (
+            self.potential.make_energy_fn(self.pairs)
+            if self.pairs is not None
+            else self.potential.make_energy_fn(None)
+        )
+        self._chain = make_pt_chain_fn(
+            energy_fn, self.masses, self.timestep, self.collision_rate,
+            pairs=self.pairs,
+        )
+        self._build_sharded_propagator()
+
+    def _build_sharded_propagator(self):
+        """shard_map(vmap(chain)) over the replica axis of the mesh."""
+        from jax.experimental.shard_map import shard_map
+
+        mesh = self.mesh
+        P = PartitionSpec
+        chain = self._chain
+
+        local_R = self.n_replicas // mesh.devices.size
+
+        def propagate_local(x, v, keys, box, list_state, kTs, n_steps):
+            # NOTE: vmap would turn the conditional neighbor rebuild
+            # (lax.cond) into a select that executes BOTH branches -- i.e.
+            # an O(N^2) rebuild every step for every replica.  To keep real
+            # branch semantics we run the single local replica directly, or
+            # lax.map (sequential per chip, parallel across chips) when a
+            # chip owns a replica block.  Each replica's chain saturates the
+            # VPU on its own for the particle counts of interest.
+            if local_R == 1:
+                sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+                ex = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
+                out = chain(
+                    sq(x), sq(v), sq(keys), sq(box), sq(list_state),
+                    sq(kTs), n_steps,
+                )
+                return tuple(ex(o) for o in out)
+            return jax.lax.map(
+                lambda args: chain(*args, n_steps),
+                (x, v, keys, box, list_state, kTs),
+            )
+
+        rep = P("replica")
+        # Everything (incl. the dummy box when there is none) is stacked on
+        # the replica axis and sharded.
+        in_specs = (rep, rep, rep, rep, rep, rep)
+        out_specs = (rep, rep, rep, rep, rep, rep)
+
+        def sharded(x, v, keys, box, list_state, kTs, n_steps):
+            f = shard_map(
+                lambda *args: propagate_local(*args, n_steps),
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_rep=False,
+            )
+            return f(x, v, keys, box, list_state, kTs)
+
+        self._propagate = jax.jit(sharded, static_argnums=(6,))
+
+    # -- one iteration --------------------------------------------------------
+    def propagate(self, n_steps: int):
+        """Advance every replica ``n_steps`` BAOAB steps (sharded)."""
+        box = self.box_vectors if self.box_vectors is not None else (
+            jnp.zeros((self.n_replicas, 3, 3))
+        )
+        ls = self.list_state
+        if ls is None:
+            # tree with a leading replica axis is required by the specs;
+            # use a dummy zero array.
+            ls = jnp.zeros((self.n_replicas, 1))
+        (
+            self.positions, self.velocities, self.keys, list_state,
+            U, overflowed,
+        ) = self._propagate(
+            self.positions, self.velocities, self.keys, box, ls,
+            self.kTs, n_steps,
+        )
+        if self.list_state is not None:
+            self.list_state = list_state
+        if bool(jnp.any(overflowed)):
+            raise RuntimeError(
+                "Neighbor capacity exceeded in a replica; increase "
+                "n_max_neighbors."
+            )
+        return np.asarray(U)
+
+    def mix_replicas(self, U: np.ndarray, rng: np.random.Generator):
+        """Even/odd temperature-ladder swap sweep (host-side, O(R) work).
+
+        Replica r at temperature index t(r); neighbors in *temperature*
+        order are proposed.  Accept with
+        P = min(1, exp((beta_i - beta_j)(U_i - U_j))) where i, j are the
+        replicas currently at neighbor temperatures.
+        """
+        old_kTs = np.asarray(self.kTs)
+        betas = 1.0 / old_kTs
+        # replica currently at each temperature rank (coldest first)
+        rank_of = np.argsort(old_kTs)
+        offset = self._iteration % 2
+        kTs = old_kTs.copy()
+        for s in range(offset, self.n_replicas - 1, 2):
+            i, j = rank_of[s], rank_of[s + 1]
+            log_p = (betas[i] - betas[j]) * (U[i] - U[j])
+            self.n_proposed_swaps += 1
+            if log_p >= 0 or rng.uniform() < math.exp(log_p):
+                kTs[i], kTs[j] = kTs[j], kTs[i]
+                self.n_accepted_swaps += 1
+        # Velocities follow the temperature: rescale by sqrt(T_new/T_old).
+        scale = np.sqrt(kTs / old_kTs)
+        self.velocities = self.velocities * jnp.asarray(scale)[:, None, None]
+        self.kTs = jnp.asarray(kTs)
+
+    # -- driver ---------------------------------------------------------------
+    def run(self, n_iterations: int, steps_per_iteration: int = 100, seed: int = 0):
+        """PT loop: propagate (sharded) -> record energies -> swap."""
+        rng = np.random.default_rng(seed)
+        for _ in range(n_iterations):
+            self._iteration += 1
+            U = self.propagate(steps_per_iteration)
+            self._u_history.append(U)
+            self._temp_history.append(np.asarray(self.kTs).copy())
+            self.mix_replicas(U, rng)
+        return self
+
+    @property
+    def swap_acceptance_fraction(self) -> float:
+        if self.n_proposed_swaps == 0:
+            return 0.0
+        return self.n_accepted_swaps / self.n_proposed_swaps
+
+    # -- analysis -------------------------------------------------------------
+    def compute_free_energies(self, discard_fraction: float = 0.2) -> np.ndarray:
+        """MBAR free energies of the temperature ladder from the PT samples.
+
+        u_kn[s, n] = beta_s * U_n over all recorded samples; each temperature
+        generated exactly one sample per iteration (N_k uniform).
+        """
+        n_total = len(self._u_history)
+        start = int(n_total * discard_fraction)
+        Us = np.concatenate([u for u in self._u_history[start:]])
+        betas_ladder = 1.0 / (np.sort(self.temps_md) * units.kB_MD)
+        u_kn = betas_ladder[:, None] * Us[None, :]
+        n_samples_per_temp = len(self._u_history[start:])
+        N_k = np.full(self.n_replicas, n_samples_per_temp)
+        self._estimator.initialize(u_kn, N_k)
+        return self._estimator.f_k
+
+    @property
+    def f_k(self) -> np.ndarray:
+        return self._estimator.f_k

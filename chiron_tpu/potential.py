@@ -73,6 +73,17 @@ class NeuralNetworkPotential:
         """Force = -grad(E) (reference potential.py:21-24)."""
         return -jax.grad(self.compute_energy)(positions, nbr_list)
 
+    def cache_token(self):
+        """Hashable token identifying the compiled-kernel identity.
+
+        Two potentials with equal tokens produce numerically identical
+        ``make_energy_fn`` closures, so jitted step functions built from one
+        can be reused for the other.  This keeps deep-copied potentials
+        (e.g. from MCMCSampler.run or MultiStateSampler._allocate_variables)
+        from forcing recompiles every iteration.
+        """
+        return (type(self).__name__, id(self))
+
     def compute_pairlist(self, positions, cutoff):
         """Naive O(N^2) pairlist without PBC (reference potential.py:26-63).
 
@@ -110,6 +121,9 @@ class IdealGasPotential(NeuralNetworkPotential):
 
     def compute_force(self, positions, nbr_list=None):
         return 0.0
+
+    def cache_token(self):
+        return ("IdealGasPotential",)
 
     def make_energy_fn(self, pairs=None) -> Callable:
         def energy_fn(positions, list_state=None):
@@ -150,6 +164,9 @@ class LJPotential(NeuralNetworkPotential):
         self.epsilon = float(epsilon.value_in_unit_system(units.md_unit_system))
         self.cutoff = float(cutoff.value_in_unit_system(units.md_unit_system))
         self.topology = topology
+
+    def cache_token(self):
+        return ("LJPotential", self.sigma, self.epsilon, self.cutoff)
 
     # -- host-facing API ----------------------------------------------------
     def compute_energy(self, positions: jnp.ndarray, nbr_list=None):
@@ -286,6 +303,16 @@ class HarmonicOscillatorPotential(NeuralNetworkPotential):
         self.x0 = jnp.asarray(x0.value_in_unit_system(units.md_unit_system))
         self.U0 = jnp.asarray(U0.value_in_unit_system(units.md_unit_system))
         self.topology = topology
+
+    def cache_token(self):
+        import numpy as _np
+
+        return (
+            "HarmonicOscillatorPotential",
+            float(self.k),
+            float(self.U0),
+            _np.asarray(self.x0).tobytes(),
+        )
 
     def compute_energy(self, positions: jnp.ndarray, nbr_list=None):
         d = positions - self.x0

@@ -366,12 +366,16 @@ def is_quantity(x) -> bool:
     return isinstance(x, Quantity)
 
 
-def strip_md(x, expected: Unit = None):
+def strip_md(x, expected: Union[Unit, "Quantity", None] = None):
     """Return the numeric value of ``x`` in the MD unit system.
 
     Accepts a bare number/array (returned as-is) or a :class:`Quantity`
     (converted; if ``expected`` is given its dimensions are validated).
+    ``expected`` may itself be a Quantity (e.g. ``1.0 / picosecond``), in
+    which case its unit is used.
     """
+    if isinstance(expected, Quantity):
+        expected = expected.unit
     if isinstance(x, Quantity):
         if expected is not None and not x.unit.is_compatible(expected):
             raise ValueError(

@@ -1,0 +1,76 @@
+"""Harmonic-oscillator multistate sampling + MBAR free-energy check.
+
+Recreates the reference's multistate workload (chiron/tests/
+test_multistate.py:91-151): a ladder of 4 harmonic oscillators with
+K_i = kT / sigma_i^2, sampled by per-state Langevin dynamics; MBAR must
+recover the analytic free-energy differences within 0.1 kT.
+"""
+
+import math
+
+import numpy as np
+
+from chiron_tpu import units
+from chiron_tpu.mcmc import LangevinDynamicsMove, MCMCSampler, MoveSchedule
+from chiron_tpu.multistate import ReplicaExchangeSampler
+from chiron_tpu.neighbors import OrthogonalNonPeriodicSpace, PairListNsqrd
+from chiron_tpu.potential import HarmonicOscillatorPotential
+from chiron_tpu.reporters import BaseReporter, MultistateReporter
+from chiron_tpu.states import SamplerState, ThermodynamicState
+from chiron_tpu.testsystems import HarmonicOscillator
+from chiron_tpu.utils import PRNG
+
+
+def main():
+    ho = HarmonicOscillator()
+    n_states = 4
+    T = 300.0 * units.kelvin
+    kT = units.BOLTZMANN_CONSTANT_kB * T * units.AVOGADRO_CONSTANT_NA
+    sigmas = [units.Quantity(2.0 + 0.2 * i, units.angstrom) for i in range(n_states)]
+    Ks = [kT / s ** 2 for s in sigmas]
+
+    thermodynamic_states = [
+        ThermodynamicState(
+            HarmonicOscillatorPotential(ho.topology, k=K), temperature=T
+        )
+        for K in Ks
+    ]
+    PRNG.set_seed(1234)
+    sampler_states = [
+        SamplerState(ho.positions, current_PRNG_key=PRNG.get_random_key())
+        for _ in sigmas
+    ]
+    nbr_lists = [
+        PairListNsqrd(OrthogonalNonPeriodicSpace(), cutoff=None) for _ in sigmas
+    ]
+
+    BaseReporter.set_directory("output/ho_multistate")
+    reporter = MultistateReporter()
+    reporter.reset_reporter_file()
+
+    lang_move = LangevinDynamicsMove(
+        timestep=1.0 * units.femtoseconds, number_of_steps=500
+    )
+    mcmc_sampler = MCMCSampler(MoveSchedule([("LangevinDynamicsMove", lang_move)]))
+    sampler = ReplicaExchangeSampler(mcmc_sampler=mcmc_sampler, reporter=reporter)
+    sampler.create(thermodynamic_states, sampler_states, nbr_lists)
+    sampler.minimize(max_iterations=200)
+    sampler.run(25)
+
+    f_analytic = np.array(
+        [
+            -1.5 * math.log(2 * math.pi * (2.0 + 0.2 * i) ** 2)
+            for i in range(n_states)
+        ]
+    )
+    f_analytic -= f_analytic[0]
+    print("analytic  f_k:", np.round(f_analytic, 4))
+    print("estimated f_k:", np.round(sampler.f_k, 4))
+    err = np.max(np.abs(sampler.f_k - f_analytic))
+    print(f"max |error| = {err:.4f} kT")
+    assert err < 0.1, "free energies did not converge to 0.1 kT"
+    print("MBAR free-energy check: PASS")
+
+
+if __name__ == "__main__":
+    main()

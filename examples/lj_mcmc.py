@@ -1,0 +1,111 @@
+"""LJ fluid NPT MCMC: displacement + barostat + Langevin move mix.
+
+Recreates reference Examples/LJ_MCMC.py: united-atom methane (TraPPE-UA,
+sigma=3.73 A, eps/kB=148 K), N=1100, T=140 K, p=13 atm.
+"""
+
+import jax.numpy as jnp
+
+from chiron_tpu import units
+from chiron_tpu.mcmc import (
+    LangevinDynamicsMove,
+    MCMCSampler,
+    MonteCarloBarostatMove,
+    MonteCarloDisplacementMove,
+    MoveSchedule,
+)
+from chiron_tpu.neighbors import NeighborListNsqrd, OrthogonalPeriodicSpace
+from chiron_tpu.potential import LJPotential
+from chiron_tpu.reporters import BaseReporter, MCReporter
+from chiron_tpu.states import SamplerState, ThermodynamicState
+from chiron_tpu.testsystems import LennardJonesFluid
+from chiron_tpu.utils import PRNG
+
+
+def main():
+    # TraPPE-UA methane (reference Examples/LJ_MCMC.py:10-13)
+    sigma = 0.373 * units.nanometer
+    kB_K = 0.008314462618  # kJ/mol/K
+    epsilon = units.Quantity(148.0 * kB_K, units.kilojoule_per_mole)
+
+    fluid = LennardJonesFluid(
+        nparticles=1100,
+        reduced_density=0.3,
+        sigma=sigma,
+        epsilon=epsilon,
+        cutoff_factor=1.4 / 0.373,  # 1.4 nm cutoff
+        mass=16.04 * units.amu,
+    )
+    lj = fluid.potential
+
+    temperature = 140.0 * units.kelvin
+    pressure = 13.0 * units.atmosphere
+
+    thermodynamic_state = ThermodynamicState(
+        potential=lj, temperature=temperature, pressure=pressure
+    )
+
+    PRNG.set_seed(1234)
+    sampler_state = SamplerState(
+        positions=fluid.positions,
+        current_PRNG_key=PRNG.get_random_key(),
+        box_vectors=fluid.box_vectors,
+    )
+
+    nbr_list = NeighborListNsqrd(
+        OrthogonalPeriodicSpace(),
+        cutoff=fluid.cutoff,
+        skin=0.5 * units.nanometer,
+        n_max_neighbors=180,
+    )
+    nbr_list.build_from_state(sampler_state)
+
+    BaseReporter.set_directory("output/lj_mcmc")
+    reporter = MCReporter("lj_mcmc", 10)
+    reporter.reset_reporter_file()
+
+    move_set = MoveSchedule(
+        [
+            (
+                "MonteCarloDisplacementMove",
+                MonteCarloDisplacementMove(
+                    displacement_sigma=0.01 * units.nanometer,
+                    number_of_moves=100,
+                    autotune=True,
+                    autotune_interval=100,
+                ),
+            ),
+            (
+                "MonteCarloBarostatMove",
+                MonteCarloBarostatMove(
+                    volume_max_scale=0.1,
+                    number_of_moves=20,
+                    reporter=reporter,
+                    report_interval=1,
+                    autotune=True,
+                    autotune_interval=50,
+                ),
+            ),
+            (
+                "LangevinDynamicsMove",
+                LangevinDynamicsMove(
+                    timestep=1.0 * units.femtoseconds, number_of_steps=200
+                ),
+            ),
+        ]
+    )
+
+    sampler = MCMCSampler(move_set)
+    final_state, _, final_nbr = sampler.run(
+        sampler_state, thermodynamic_state, n_iterations=5, nbr_list=nbr_list
+    )
+
+    volume = reporter.get_property("volume")
+    print("sampled volumes (nm^3):", volume[-10:])
+    e = lj.compute_energy(final_state.positions, final_nbr)
+    print("final energy:", float(e), "kJ/mol")
+    assert bool(jnp.isfinite(e))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow statistical-convergence tests unless RUN_SLOW=1.
+
+    Mirrors the reference's practice of skipping long convergence tests in CI
+    (reference chiron/tests/test_convergence_tests.py:19-20,126-127).
+    """
+    if os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow statistical test; set RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def prng_seed():
     from chiron_tpu.utils import PRNG

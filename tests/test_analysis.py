@@ -1,0 +1,86 @@
+"""MBAR estimator tests against analytic harmonic-oscillator free energies."""
+
+import numpy as np
+import pytest
+
+from chiron_tpu.analysis import MBAREstimator, mbar_solve, mbar_solve_jax
+
+
+def _ho_samples(spring_constants, n_samples, seed=0):
+    """Sample 1D harmonic oscillators (beta=1) and build u_kn.
+
+    u_k(x) = 0.5 K_k x^2; analytic f_k = -0.5 ln(2 pi / K_k).
+    """
+    rng = np.random.default_rng(seed)
+    xs = []
+    for K in spring_constants:
+        xs.append(rng.normal(0.0, 1.0 / np.sqrt(K), size=n_samples))
+    x_n = np.concatenate(xs)
+    u_kn = 0.5 * np.asarray(spring_constants)[:, None] * x_n[None, :] ** 2
+    N_k = np.full(len(spring_constants), n_samples)
+    f_analytic = -0.5 * np.log(2 * np.pi / np.asarray(spring_constants))
+    f_analytic -= f_analytic[0]
+    return u_kn, N_k, f_analytic
+
+
+def test_mbar_recovers_analytic_free_energies():
+    Ks = [1.0, 2.0, 4.0, 8.0]
+    u_kn, N_k, f_analytic = _ho_samples(Ks, 4000)
+    f_k = mbar_solve(u_kn, N_k)
+    assert np.allclose(f_k, f_analytic, atol=0.05)
+    assert f_k[0] == 0.0
+
+
+def test_mbar_estimator_interface():
+    Ks = [1.0, 4.0]
+    u_kn, N_k, f_analytic = _ho_samples(Ks, 4000)
+    est = MBAREstimator()
+    est.initialize(u_kn, N_k)
+    assert est.f_k.shape == (2,)
+    assert est.get_free_energy_difference() == pytest.approx(
+        f_analytic[-1], abs=0.05
+    )
+
+
+def test_mbar_3d_reporter_layout():
+    """(n_iterations, n_states, n_replicas) stacked input
+    (reference analysis.py:31-35)."""
+    Ks = [1.0, 2.0]
+    u_kn, N_k, f_analytic = _ho_samples(Ks, 1000)
+    # reshape (2, 2000) -> (T=1000, S=2, R=2): sample n = r*T + t
+    u_3d = u_kn.reshape(2, 2, 1000).transpose(2, 0, 1)
+    est = MBAREstimator()
+    est.initialize(u_3d, N_k)
+    assert np.allclose(est.f_k, f_analytic, atol=0.08)
+
+
+def test_mbar_jax_path_agrees_with_host():
+    Ks = [1.0, 2.0, 4.0]
+    u_kn, N_k, _ = _ho_samples(Ks, 1000)
+    f_host = mbar_solve(u_kn, N_k)
+    f_jax = np.asarray(mbar_solve_jax(u_kn.astype(np.float32), N_k))
+    assert np.allclose(f_host, f_jax, atol=5e-3)
+
+
+def test_mbar_input_validation():
+    with pytest.raises(ValueError):
+        mbar_solve(np.zeros((2, 10)), np.array([5, 4]))  # sum != N
+    with pytest.raises(ValueError):
+        mbar_solve(np.zeros((2, 10)), np.array([5, 5, 5]))  # wrong K
+
+
+def test_mbar_expectation():
+    """<x^2> at state k equals 1/K_k for the harmonic oscillator."""
+    Ks = [1.0, 4.0]
+    rng = np.random.default_rng(1)
+    n = 4000
+    xs = np.concatenate(
+        [rng.normal(0, 1 / np.sqrt(K), size=n) for K in Ks]
+    )
+    u_kn = 0.5 * np.asarray(Ks)[:, None] * xs[None, :] ** 2
+    est = MBAREstimator()
+    est.initialize(u_kn, np.array([n, n]))
+    x2 = est.compute_expectation(xs ** 2, state_index=0)
+    assert x2 == pytest.approx(1.0, rel=0.1)
+    x2b = est.compute_expectation(xs ** 2, state_index=1)
+    assert x2b == pytest.approx(0.25, rel=0.1)

@@ -48,6 +48,7 @@ def test_langevin_determinism():
     assert jnp.all(out1.velocities == out2.velocities)
 
 
+@pytest.mark.slow
 def test_langevin_ho_equipartition():
     """<U> ~ (3/2) kT for the 3D HO (statistical convergence check)."""
     ho, ss, ts = _ho_setup()

@@ -1,0 +1,104 @@
+"""Multi-device sharding tests.
+
+Runs in a subprocess with a forced 8-device CPU topology
+(``xla_force_host_platform_device_count``) -- the no-cluster multi-device
+test mechanism (SURVEY.md section 4).  Checks that the sharded
+parallel-tempering propagator compiles, runs, shards the replica axis, and
+produces free energies matching the analytic harmonic-oscillator ladder.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# NOTE: jax is imported by a site hook before this script body runs, so the
+# platform/topology env vars MUST come from the subprocess environment (see
+# the test below), not from os.environ assignments in the script.
+SCRIPT = textwrap.dedent(
+    """
+    import json
+    import math
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.device_count() == 8, jax.devices()
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel import ParallelTemperingSampler, make_replica_mesh
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    ho = HarmonicOscillator(k=100.0 * units.kilojoule_per_mole / units.nanometer**2)
+    n_replicas = 8
+    temps = [300.0 * (1.2 ** i) for i in range(n_replicas)]
+
+    mesh = make_replica_mesh(8)
+    pt = ParallelTemperingSampler(
+        potential=ho.potential,
+        temperatures=[t * units.kelvin for t in temps],
+        timestep=4.0 * units.femtoseconds,
+        collision_rate=5.0 / units.picoseconds,
+        mesh=mesh,
+    )
+    pt.initialize(ho.positions, seed=1234)
+    pt.run(n_iterations=150, steps_per_iteration=200)
+
+    # replica axis is actually sharded across the 8 devices
+    shardings = {str(s.spec) for s in [pt.positions.sharding]}
+
+    f_k = pt.compute_free_energies(discard_fraction=0.2)
+
+    # analytic ladder: f(T) = -(3/2) ln(2 pi kT / K), dimensionless per state
+    K = 100.0
+    kB = 0.008314462618
+    f_analytic = np.array(
+        [-1.5 * math.log(2 * math.pi * kB * t / K) for t in sorted(temps)]
+    )
+    f_analytic -= f_analytic[0]
+
+    print(json.dumps({
+        "device_count": jax.device_count(),
+        "sharding_spec": sorted(shardings),
+        "swap_acceptance": pt.swap_acceptance_fraction,
+        "f_k": [float(x) for x in f_k],
+        "f_analytic": [float(x) for x in f_analytic],
+        "max_err": float(np.max(np.abs(f_k - f_analytic))),
+    }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_parallel_tempering_on_8_virtual_devices():
+    env = dict(os.environ)
+    # NOTE: the axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME is
+    # the variable that reliably forces the CPU backend in this environment.
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out = json.loads(result.stdout.strip().splitlines()[-1])
+    assert out["device_count"] == 8
+    # the replica axis is sharded, not replicated
+    assert any("replica" in s for s in out["sharding_spec"]), out["sharding_spec"]
+    # neighbor-temperature swaps are frequent for this ladder spacing
+    assert out["swap_acceptance"] > 0.2, out
+    # MBAR free energies match the analytic ladder
+    assert out["max_err"] < 0.15, out

@@ -1,0 +1,154 @@
+"""Reporter/IO and checkpoint tests (reference chiron/tests/test_utils.py)."""
+
+import numpy as np
+import pytest
+
+from chiron_tpu.checkpoint import (
+    load_checkpoint,
+    load_sampler_checkpoint,
+    save_checkpoint,
+    save_sampler_checkpoint,
+)
+from chiron_tpu.reporters import (
+    BaseReporter,
+    DCDWriter,
+    LangevinDynamicsReporter,
+    MCReporter,
+    MultistateReporter,
+    read_dcd,
+    _SimulationReporter,
+)
+
+
+def test_buffered_hdf5_roundtrip(tmp_path):
+    BaseReporter.set_directory(str(tmp_path))
+    rep = _SimulationReporter("test_log", buffer_size=3)
+    for i in range(10):
+        rep.report({"energy": float(i), "step": i})
+    rep.flush_buffer()
+    e = rep.get_property("energy")
+    s = rep.get_property("step")
+    assert np.allclose(e, np.arange(10.0))
+    assert np.allclose(s, np.arange(10))
+    assert set(rep.get_available_keys()) == {"energy", "step"}
+
+
+def test_buffer_vs_flushed_reads(tmp_path):
+    """get_property serves live-buffer data before any flush
+    (reference reporters.py:171-203)."""
+    BaseReporter.set_directory(str(tmp_path))
+    rep = _SimulationReporter("test_buffer", buffer_size=100)
+    rep.report({"x": 1.0})
+    rep.report({"x": 2.0})
+    assert np.allclose(rep.get_property("x"), [1.0, 2.0])
+    assert rep.get_property("missing") is None
+
+
+def test_mc_reporter_name(tmp_path):
+    BaseReporter.set_directory(str(tmp_path))
+    rep = MCReporter()
+    assert rep.log_file_path.name == "mc_reporter.h5"
+    rep.report({"volume": 8.0})
+    rep.report({"volume": 9.0})
+    rep.flush_buffer()
+    assert np.allclose(rep.get_property("volume"), [8.0, 9.0])
+
+
+def test_dcd_writer_roundtrip(tmp_path):
+    path = str(tmp_path / "traj.dcd")
+    rng = np.random.default_rng(0)
+    frames = rng.normal(size=(5, 10, 3)).astype(np.float32)
+    w = DCDWriter(path, n_atoms=10, with_unitcell=True)
+    for f in frames:
+        w.write(f, box_lengths=np.array([20.0, 20.0, 20.0]))
+    w.close()
+    back = read_dcd(path)
+    assert back.shape == (5, 10, 3)
+    assert np.allclose(back, frames, atol=1e-6)
+
+
+def test_langevin_reporter_writes_trajectory(tmp_path):
+    BaseReporter.set_directory(str(tmp_path))
+    rep = LangevinDynamicsReporter("lang_test", buffer_size=2)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        rep.report(
+            {
+                "positions": rng.normal(size=(7, 3)).astype(np.float32),
+                "box_vectors": np.eye(3) * 3.0,
+                "potential_energy": float(i),
+                "step": i,
+            }
+        )
+    rep.flush_buffer()
+    xyz = rep.read_from_trajectory()
+    assert xyz.shape == (4, 7, 3)
+    assert np.allclose(rep.get_property("potential_energy"), np.arange(4.0))
+
+
+def test_multistate_reporter_fanout(tmp_path):
+    """Per-replica trajectory fan-out + u_kn stacking
+    (reference reporters.py:247-262, test_utils.py:86-137)."""
+    BaseReporter.set_directory(str(tmp_path))
+    rep = MultistateReporter(buffer_size=1)
+    rng = np.random.default_rng(0)
+    n_iter, n_states, n_replicas, n_atoms = 3, 2, 2, 5
+    for t in range(n_iter):
+        rep.report(
+            {
+                "positions": rng.normal(size=(n_replicas, n_atoms, 3)),
+                "box_vectors": np.stack([np.eye(3) * 4.0] * n_replicas),
+                "u_kn": rng.normal(size=(n_states, n_replicas)),
+                "state_index": np.arange(n_replicas),
+                "step": t,
+            }
+        )
+    rep.flush_buffer()
+    u_kn = rep.get_property("u_kn")
+    assert u_kn.shape == (n_iter, n_states, n_replicas)
+    # replica trajectory files exist
+    assert (tmp_path / "replica_0.dcd").exists()
+    assert (tmp_path / "replica_1.dcd").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.eye(2)}}
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, tree, metadata={"iteration": 7})
+    restored, meta = load_checkpoint(path, like=tree)
+    assert meta["iteration"] == 7
+    assert np.allclose(restored["a"], np.arange(5.0))
+    assert np.allclose(restored["b"]["c"], np.eye(2))
+
+
+def test_sampler_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from chiron_tpu import units as u
+    from chiron_tpu.states import SamplerState
+    from chiron_tpu.utils import PRNG
+
+    PRNG.set_seed(7)
+    ss = SamplerState(
+        positions=u.Quantity(jnp.ones((3, 3)), u.nanometer),
+        current_PRNG_key=PRNG.get_random_key(),
+        velocities=u.Quantity(jnp.zeros((3, 3)), u.nanometer / u.picosecond),
+        box_vectors=u.Quantity(jnp.eye(3) * 2, u.nanometer),
+    )
+    path = str(tmp_path / "sampler.npz")
+    save_sampler_checkpoint(path, ss, iteration=12, extra={"note": "hi"})
+
+    PRNG.set_seed(7)
+    ss2 = SamplerState(
+        positions=u.Quantity(jnp.zeros((3, 3)), u.nanometer),
+        current_PRNG_key=PRNG.get_random_key(),
+        velocities=u.Quantity(jnp.ones((3, 3)), u.nanometer / u.picosecond),
+        box_vectors=u.Quantity(jnp.eye(3), u.nanometer),
+    )
+    meta = load_sampler_checkpoint(path, ss2)
+    assert meta["iteration"] == 12
+    assert meta["note"] == "hi"
+    assert np.allclose(np.asarray(ss2.positions), 1.0)
+    assert np.allclose(np.asarray(ss2.box_vectors), np.eye(3) * 2)
