@@ -20,8 +20,7 @@ import jax.numpy as jnp
 
 def main():
     from chiron_tpu import units
-    from chiron_tpu.neighbors import NeighborListNsqrd, OrthogonalPeriodicSpace
-    from chiron_tpu.runtime import make_langevin_runner
+    from chiron_tpu.runtime import make_fast_lj_runner
     from chiron_tpu.testsystems import LennardJonesFluid
 
     n_particles = 4000
@@ -29,16 +28,10 @@ def main():
     n_steps_bench = 2000
 
     fluid = LennardJonesFluid(nparticles=n_particles, reduced_density=0.8)
-    nbr = NeighborListNsqrd(
-        OrthogonalPeriodicSpace(),
-        cutoff=fluid.cutoff,
-        skin=0.5 * units.nanometer,
-        n_max_neighbors=128,
-    )
 
-    runner = make_langevin_runner(
+    runner = make_fast_lj_runner(
         potential=fluid.potential,
-        pairs=nbr,
+        n_particles=n_particles,
         topology=fluid.topology,
         temperature=120.0 * units.kelvin,
         timestep=2.0 * units.femtoseconds,
@@ -49,8 +42,10 @@ def main():
         seed=1234,
     )
 
-    # warmup: compile + first rebuilds
+    # warmup: equilibrate a little, then compile+run the exact benched
+    # program once so the timed call is pure execution
     state = runner.run(state, n_steps_warmup)
+    state = runner.run(state, n_steps_bench)
     jax.block_until_ready(state.x)
 
     t0 = time.perf_counter()

@@ -75,6 +75,115 @@ class LangevinRunner:
         return self.energy_fn(state.x, state.nbr_state)
 
 
+def make_fast_lj_runner(
+    potential,
+    n_particles: int,
+    temperature=300.0 * units.kelvin,
+    timestep=2.0 * units.femtoseconds,
+    collision_rate=1.0 / units.picoseconds,
+    topology=None,
+    tm: int = 512,
+    exact_forces: bool = False,
+) -> LangevinRunner:
+    """Optimized LJ Langevin runner using the fused dense Pallas kernel.
+
+    No neighbor list, no rebuild logic: the Pallas kernel evaluates all pairs
+    with minimum-image PBC in one fused pass (chiron_tpu.ops.lj_dense).  The
+    exact-force custom VJP keeps ``jax.grad`` semantics identical to the
+    reference's autodiff force (reference chiron/potential.py:21-24).
+
+    ``exact_forces=False`` (default) uses the VPU fast reciprocal in the
+    stepping path (~6e-5 relative force error, far below the Langevin noise
+    floor); energies are always computed exactly.
+    """
+    from .ops.lj_dense import LJDensePallas
+
+    if topology is None:
+        topology = potential.topology
+    masses = jnp.asarray(topology.masses(), dtype=jnp.float32)[:, None]
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+
+    op = LJDensePallas(
+        n=n_particles,
+        sigma=potential.sigma,
+        epsilon=potential.epsilon,
+        cutoff=potential.cutoff,
+        tm=tm,
+    )
+    n_pad = op.n_pad
+
+    a = jnp.exp(-gamma * dt)
+    b = jnp.sqrt(1.0 - jnp.exp(-2.0 * gamma * dt))
+    dt_ = jnp.float32(dt)
+
+    # State lives natively in the kernel's (3, n_pad) layout: the lane axis
+    # is the particle axis (full VPU width on every elementwise step op) and
+    # the force kernel consumes it with zero copies or transposes.
+    m_lane = jnp.ones((1, n_pad), dtype=jnp.float32)
+    m_lane = m_lane.at[0, :n_particles].set(
+        jnp.asarray(topology.masses(), dtype=jnp.float32)
+    )
+    sigma_v_lane = jnp.sqrt(kT / m_lane)
+
+    def step_fn(carry: LangevinCarry, _=None):
+        key, subkey = jax.random.split(carry.key)
+        x, v, F = carry.x, carry.v, carry.F  # all (3, n_pad)
+        box_diag = carry.box_vectors  # (1, 3)
+        v = v + (dt_ * 0.5) * F / m_lane
+        x = x + (dt_ * 0.5) * v
+        noise = jax.random.normal(subkey, x.shape, dtype=x.dtype)
+        v = a * v + b * sigma_v_lane * noise
+        x = x + (dt_ * 0.5) * v
+        Lcol = box_diag.reshape(3, 1)
+        x = x - jnp.floor(x / Lcol) * Lcol  # periodic wrap
+        F = op.force_only_t(x, box_diag, approx_recip=not exact_forces)
+        v = v + (dt_ * 0.5) * F / m_lane
+        return (
+            LangevinCarry(
+                x=x, v=v, F=F, key=key, nbr_state=None,
+                box_vectors=box_diag, overflowed=carry.overflowed,
+            ),
+            None,
+        )
+
+    runner = LangevinRunner(
+        step_fn=step_fn,
+        energy_fn=lambda x, s: op.energy(x, s),
+        masses=masses,
+        temperature_md=T,
+        pairs=None,
+    )
+
+    def init(positions, box_vectors, seed: int = 0, velocities=None):
+        x3 = op.pad_positions(jnp.asarray(positions, dtype=jnp.float32))
+        box_diag = jnp.diagonal(
+            jnp.asarray(box_vectors, dtype=jnp.float32)
+        ).reshape(1, 3)
+        key = jax.random.PRNGKey(seed)
+        if velocities is None:
+            key, vkey = jax.random.split(key)
+            v3 = sigma_v_lane * jax.random.normal(vkey, (3, n_pad))
+        else:
+            v3 = op.pad_positions(jnp.asarray(velocities, dtype=jnp.float32))
+        F3 = op.force_only_t(x3, box_diag, approx_recip=not exact_forces)
+        return LangevinCarry(
+            x=x3, v=v3, F=F3, key=key, nbr_state=None, box_vectors=box_diag,
+            overflowed=jnp.asarray(False),
+        )
+
+    runner.init = init
+    runner.energy = lambda state: op.force_energy_t(
+        state.x, state.box_vectors
+    )[1]
+    runner.positions = lambda state: op.unpad(state.x)
+    runner.velocities = lambda state: op.unpad(state.v)
+    runner.op = op
+    return runner
+
+
 def make_langevin_runner(
     potential,
     pairs=None,
