@@ -1,0 +1,85 @@
+"""Structure file I/O: minimal PDB read/write.
+
+The reference ships PDB fixtures (reference chiron/data/*.pdb) and relies on
+openmm for parsing.  This standalone reader/writer covers the subset the
+framework needs: ATOM/HETATM records with names, elements, coordinates, and
+CRYST1 boxes.  Coordinates are converted between PDB Angstroms and the MD
+unit system (nm).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import units
+from .topology import Topology
+
+
+def read_pdb(path: str) -> Tuple[units.Quantity, Topology, Optional[units.Quantity]]:
+    """Parse a PDB file.
+
+    Returns (positions Quantity [nm], Topology, box Quantity [nm] or None).
+    """
+    positions = []
+    names = []
+    elements = []
+    box = None
+    with open(path) as fh:
+        for line in fh:
+            rec = line[:6]
+            if rec in ("ATOM  ", "HETATM"):
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+                positions.append((x, y, z))
+                name = line[12:16].strip()
+                elem = line[76:78].strip() if len(line) >= 78 else ""
+                if not elem:
+                    elem = "".join(c for c in name if c.isalpha())[:2].capitalize()
+                names.append(name)
+                elements.append(elem)
+            elif rec == "CRYST1":
+                a = float(line[6:15])
+                b = float(line[15:24])
+                c = float(line[24:33])
+                box = np.diag([a, b, c]) / 10.0  # A -> nm
+
+    topology = Topology()
+    for name, elem in zip(names, elements):
+        try:
+            topology.add_atom(name, elem)
+        except ValueError:
+            topology.add_atom(name, elem, mass=12.0)
+    pos_nm = np.asarray(positions, dtype=np.float64) / 10.0
+    box_q = units.Quantity(box, units.nanometer) if box is not None else None
+    return units.Quantity(pos_nm, units.nanometer), topology, box_q
+
+
+def write_pdb(path: str, positions, topology: Optional[Topology] = None,
+              box_vectors=None) -> None:
+    """Write a single-model PDB. Positions in nm (array or Quantity)."""
+    pos = units.strip_md(positions, units.nanometer)
+    pos = np.asarray(pos, dtype=np.float64) * 10.0  # nm -> A
+    n = pos.shape[0]
+    lines = []
+    if box_vectors is not None:
+        box = units.strip_md(box_vectors, units.nanometer)
+        a, b, c = (np.diagonal(np.asarray(box)) * 10.0).tolist()
+        lines.append(
+            f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}  90.00  90.00  90.00 P 1"
+            "           1"
+        )
+    atoms = list(topology.atoms()) if topology is not None else None
+    for i in range(n):
+        name = atoms[i].name[:4] if atoms else f"Ar"
+        elem = atoms[i].element[:2] if atoms else "Ar"
+        lines.append(
+            f"ATOM  {i + 1:5d} {name:<4s} UNK A{1:4d}    "
+            f"{pos[i, 0]:8.3f}{pos[i, 1]:8.3f}{pos[i, 2]:8.3f}"
+            f"  1.00  0.00          {elem:>2s}"
+        )
+    lines.append("END")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")

@@ -329,6 +329,12 @@ class LJDensePallas:
         if interpret is None:
             # Pallas TPU kernels run interpreted on CPU backends (tests/CI).
             interpret = jax.default_backend() != "tpu"
+        if not interpret and tm < 128:
+            # Mosaic requires >=128-lane tiles on hardware.
+            tm = max(tm, 128)
+            tn = max(tn, 128)
+            self.n_pad = _round_up(n, max(tm, tn))
+            self.tm, self.tn = tm, tn
 
         n_, s_, e_, c_, tm_, tn_, npad_ = (
             self.n, self.sigma, self.epsilon, self.cutoff, tm, tn, self.n_pad

@@ -1,0 +1,43 @@
+"""PDB I/O tests (counterpart of the reference's data-file based tests)."""
+
+import numpy as np
+import pytest
+
+from chiron_tpu import units
+from chiron_tpu.io import read_pdb, write_pdb
+from chiron_tpu.topology import Topology
+from chiron_tpu.utils import get_data_file_path
+
+
+def test_read_packaged_two_particles():
+    path = get_data_file_path("two_particles.pdb")
+    positions, topology, box = read_pdb(path)
+    assert positions.shape == (2, 3)
+    # 5 A separation -> 0.5 nm
+    pos = positions.value_in_unit_system(units.md_unit_system)
+    assert np.allclose(pos[1] - pos[0], [0.5, 0.0, 0.0])
+    assert topology.getNumAtoms() == 2
+    assert np.allclose(topology.masses(), 39.948)
+    assert box is not None
+    box_nm = box.value_in_unit_system(units.md_unit_system)
+    assert np.allclose(np.diagonal(box_nm), 10.0)
+
+
+def test_pdb_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 3.0, (17, 3))
+    top = Topology.uniform(17, 39.948, element="Ar")
+    path = str(tmp_path / "out.pdb")
+    write_pdb(path, pos, top, box_vectors=np.eye(3) * 3.0)
+    pos2, top2, box2 = read_pdb(path)
+    pos2 = pos2.value_in_unit_system(units.md_unit_system)
+    assert np.allclose(pos2, pos, atol=1e-3)  # PDB has 3 decimals in A
+    assert top2.getNumAtoms() == 17
+    assert np.allclose(
+        np.diagonal(box2.value_in_unit_system(units.md_unit_system)), 3.0
+    )
+
+
+def test_data_file_missing():
+    with pytest.raises(ValueError):
+        get_data_file_path("nope.pdb")

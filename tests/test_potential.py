@@ -158,8 +158,11 @@ def test_lj_force_with_neighbor_list():
     F = lj.compute_force(pos, nl)
     assert F.shape == (n, 3)
     assert bool(jnp.all(jnp.isfinite(F)))
-    # Newton's third law: net force ~ 0
-    assert jnp.allclose(F.sum(axis=0), jnp.zeros(3), atol=1e-3)
+    # Newton's third law: net force ~ 0 relative to the force scale (the
+    # random config contains overlaps with |F| ~ 1e4, so the tolerance must
+    # scale with f32 roundoff on that magnitude)
+    atol = 1e-5 * float(jnp.max(jnp.abs(F)))
+    assert jnp.allclose(F.sum(axis=0), jnp.zeros(3), atol=atol)
 
 
 def test_lj_cutoff_mismatch_raises():
