@@ -117,6 +117,49 @@ def make_pt_chain_fn(
     return chain
 
 
+def make_pt_dense_chain_fn(
+    op,
+    m_lane: jnp.ndarray,
+    timestep: float,
+    collision_rate: float,
+    exact_forces: bool = False,
+) -> Callable:
+    """Single-replica BAOAB chain on the fused dense Pallas LJ kernel.
+
+    State in the kernel's native (3, n_pad) layout; no neighbor machinery.
+    Signature matches :func:`make_pt_chain_fn` (list_state is a dummy).
+    """
+    dt = jnp.float32(timestep)
+    a = jnp.exp(-collision_rate * dt)
+    b = jnp.sqrt(1.0 - jnp.exp(-2.0 * collision_rate * dt))
+
+    def chain(x3, v3, key, box_diag, _list_state, kT, n_steps: int):
+        sigma_v = jnp.sqrt(kT / m_lane)
+        Lcol = box_diag.reshape(3, 1)
+
+        def step(carry, _):
+            x, v, F, key = carry
+            key, subkey = jax.random.split(key)
+            v = v + (dt * 0.5) * F / m_lane
+            x = x + (dt * 0.5) * v
+            noise = jax.random.normal(subkey, x.shape, dtype=x.dtype)
+            v = a * v + b * sigma_v * noise
+            x = x + (dt * 0.5) * v
+            x = x - jnp.floor(x / Lcol) * Lcol
+            F = op.force_only_t(x, box_diag, approx_recip=not exact_forces)
+            v = v + (dt * 0.5) * F / m_lane
+            return (x, v, F, key), None
+
+        F0 = op.force_only_t(x3, box_diag, approx_recip=not exact_forces)
+        (x3, v3, _, key), _ = jax.lax.scan(
+            step, (x3, v3, F0, key), length=n_steps
+        )
+        _, U = op.force_energy_t(x3, box_diag)
+        return x3, v3, key, _list_state, U, jnp.asarray(False)
+
+    return chain
+
+
 class ParallelTemperingSampler:
     """Parallel tempering with replicas sharded across a TPU mesh.
 
@@ -173,8 +216,23 @@ class ParallelTemperingSampler:
         self._estimator = MBAREstimator()
 
     # -- setup ---------------------------------------------------------------
-    def initialize(self, positions, box_vectors=None, masses=None, seed: int = 1234):
-        """Stack R copies of the initial configuration and build lists."""
+    def initialize(self, positions, box_vectors=None, masses=None, seed: int = 1234,
+                   dense: Optional[bool] = None):
+        """Stack R copies of the initial configuration and build lists.
+
+        ``dense=None`` auto-selects the fused dense Pallas LJ kernel when no
+        pair scheme was given, the potential is an LJ potential, and the
+        system is periodic -- the fastest per-replica path on TPU.
+        """
+        if dense is None:
+            dense = (
+                self.pairs is None
+                and box_vectors is not None
+                and hasattr(self.potential, "sigma")
+                and hasattr(self.potential, "cutoff")
+            )
+        if dense:
+            return self._initialize_dense(positions, box_vectors, masses, seed)
         x0 = jnp.asarray(units.strip_md(positions, units.nanometer))
         if masses is None:
             masses = self.potential.topology.masses()
@@ -228,6 +286,55 @@ class ParallelTemperingSampler:
         self._chain = make_pt_chain_fn(
             energy_fn, self.masses, self.timestep, self.collision_rate,
             pairs=self.pairs,
+        )
+        self._build_sharded_propagator()
+
+    def _initialize_dense(self, positions, box_vectors, masses, seed):
+        """Dense-kernel replica setup: state in (R, 3, n_pad) layout."""
+        from ..ops.lj_dense import LJDensePallas
+
+        x0 = jnp.asarray(
+            units.strip_md(positions, units.nanometer), dtype=jnp.float32
+        )
+        n = x0.shape[0]
+        op = LJDensePallas(
+            n=n,
+            sigma=self.potential.sigma,
+            epsilon=self.potential.epsilon,
+            cutoff=self.potential.cutoff,
+            tm=min(512, max(128, ((n + 127) // 128) * 128)),
+        )
+        self._dense_op = op
+        n_pad = op.n_pad
+
+        if masses is None:
+            masses = self.potential.topology.masses()
+        m_lane = jnp.ones((1, n_pad), dtype=jnp.float32)
+        m_lane = m_lane.at[0, :n].set(
+            jnp.asarray(np.asarray(masses), dtype=jnp.float32)
+        )
+        self.masses = m_lane
+
+        R = self.n_replicas
+        x3 = op.pad_positions(x0)
+        self.positions = jnp.tile(x3[None], (R, 1, 1))
+        keys = jax.random.split(jax.random.PRNGKey(seed), R + 1)
+        self.keys = keys[1:]
+        sigma_v = jnp.sqrt(self.kTs[:, None, None] / m_lane[None])
+        self.velocities = sigma_v * jax.vmap(
+            lambda k: jax.random.normal(k, (3, n_pad))
+        )(self.keys)
+        self.keys = jax.vmap(lambda k: jax.random.split(k)[0])(self.keys)
+
+        box = jnp.asarray(
+            units.strip_md(box_vectors, units.nanometer), dtype=jnp.float32
+        )
+        box_diag = jnp.diagonal(box).reshape(1, 3)
+        self.box_vectors = jnp.tile(box_diag[None], (R, 1, 1))  # (R, 1, 3)
+        self.list_state = jnp.zeros((R, 1), dtype=jnp.float32)  # dummy
+
+        self._chain = make_pt_dense_chain_fn(
+            op, m_lane, self.timestep, self.collision_rate
         )
         self._build_sharded_propagator()
 

@@ -75,6 +75,69 @@ SCRIPT = textwrap.dedent(
 )
 
 
+DENSE_SCRIPT = textwrap.dedent(
+    """
+    import json
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.device_count() == 8, jax.devices()
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel import ParallelTemperingSampler, make_replica_mesh
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=32, reduced_density=0.3)
+    temps = [120.0 * 1.1 ** i for i in range(8)]
+    pt = ParallelTemperingSampler(
+        potential=fluid.potential,
+        temperatures=[t * units.kelvin for t in temps],
+        timestep=2.0 * units.femtoseconds,
+        mesh=make_replica_mesh(8),
+    )
+    pt.initialize(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        box_vectors=fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=7,
+    )
+    assert pt._dense_op is not None  # dense kernel auto-selected
+    pt.run(n_iterations=2, steps_per_iteration=5)
+    U = pt._u_history[-1]
+    print(json.dumps({
+        "sharding_spec": str(pt.positions.sharding.spec),
+        "finite": bool(np.all(np.isfinite(U))),
+        "n_energies": int(len(U)),
+    }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_parallel_tempering_dense_kernel_on_8_devices():
+    """LJ parallel tempering through the dense Pallas kernel (interpret mode
+    on CPU), sharded over 8 virtual devices."""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", DENSE_SCRIPT],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out = json.loads(result.stdout.strip().splitlines()[-1])
+    assert out["finite"], out
+    assert out["n_energies"] == 8
+    assert "replica" in out["sharding_spec"], out
+
+
 @pytest.mark.slow
 def test_parallel_tempering_on_8_virtual_devices():
     env = dict(os.environ)
