@@ -127,24 +127,25 @@ def _make_triangle_kernel(n: int, n_pad: int, tm: int,
                 pair_mask, with_energy=with_energy,
                 approx_recip=approx_recip,
             )
-            fx = fx + jnp.sum(coef * dx, axis=1, keepdims=True)
-            fy = fy + jnp.sum(coef * dy, axis=1, keepdims=True)
-            fz = fz + jnp.sum(coef * dz, axis=1, keepdims=True)
+            # products computed once, reused by the row AND column sums
+            tx = coef * dx
+            ty = coef * dy
+            tz = coef * dz
+            fx = fx + jnp.sum(tx, axis=1, keepdims=True)
+            fy = fy + jnp.sum(ty, axis=1, keepdims=True)
+            fz = fz + jnp.sum(tz, axis=1, keepdims=True)
 
             @pl.when(jnp.logical_not(diagonal))
             def _():
                 # reaction on the column particles: F_j -= coef * d
-                cfx = jnp.sum(coef * dx, axis=0)
-                cfy = jnp.sum(coef * dy, axis=0)
-                cfz = jnp.sum(coef * dz, axis=0)
                 force_ref[0, pl.ds(col0, tm)] = (
-                    force_ref[0, pl.ds(col0, tm)] - cfx
+                    force_ref[0, pl.ds(col0, tm)] - jnp.sum(tx, axis=0)
                 )
                 force_ref[1, pl.ds(col0, tm)] = (
-                    force_ref[1, pl.ds(col0, tm)] - cfy
+                    force_ref[1, pl.ds(col0, tm)] - jnp.sum(ty, axis=0)
                 )
                 force_ref[2, pl.ds(col0, tm)] = (
-                    force_ref[2, pl.ds(col0, tm)] - cfz
+                    force_ref[2, pl.ds(col0, tm)] - jnp.sum(tz, axis=0)
                 )
 
             # energy: diagonal tiles double-count ordered pairs

@@ -138,6 +138,63 @@ def test_parallel_tempering_dense_kernel_on_8_devices():
     assert "replica" in out["sharding_spec"], out
 
 
+SPATIAL_SCRIPT = textwrap.dedent(
+    """
+    import json
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    assert jax.device_count() == 8
+
+    from chiron_tpu.ops.lj_dense import LJDensePallas
+    from chiron_tpu.parallel.spatial import make_sharded_lj_force
+
+    N, sigma, eps, cutoff, L = 1000, 0.34, 0.99579, 1.02, 5.0
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, L, (N, 3)), dtype=jnp.float32)
+    box = jnp.asarray(np.eye(3) * L, dtype=jnp.float32)
+
+    op = LJDensePallas(N, sigma, eps, cutoff, tm=128, tn=128, triangle=False)
+    F_ref, _ = op.force_energy(x, box)
+
+    mesh = Mesh(np.array(jax.devices()), ("replica",))
+    f = make_sharded_lj_force(mesh, N, sigma, eps, cutoff, tm=128)
+    p = jnp.zeros((3, f.n_pad), dtype=jnp.float32).at[:, :N].set(x.T)
+    bd = jnp.diagonal(box).reshape(1, 3)
+    F3 = f(p, bd)
+    F = F3[:, :N].T
+    err = float(jnp.max(jnp.abs(F - F_ref))) / float(jnp.max(jnp.abs(F_ref)))
+    print(json.dumps({
+        "err": err,
+        "out_sharding": str(F3.sharding.spec),
+        "rows_per_dev": f.rows_per_dev,
+    }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_force_on_8_devices():
+    """Particle-axis (row) sharding of the dense pair kernel: 8 devices each
+    compute a row slab; result matches the single-kernel oracle."""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", SPATIAL_SCRIPT],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out = json.loads(result.stdout.strip().splitlines()[-1])
+    assert out["err"] < 1e-5, out
+    assert "replica" in out["out_sharding"], out
+
+
 @pytest.mark.slow
 def test_parallel_tempering_on_8_virtual_devices():
     env = dict(os.environ)

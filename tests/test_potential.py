@@ -235,3 +235,43 @@ def test_energy_fn_closures_jit_and_grad():
     assert float(e) == pytest.approx(float(lj.compute_energy(pos, nl)), rel=1e-6)
     g = jax.jit(jax.grad(energy_fn))(pos, nl.state)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+@pytest.mark.parametrize("density", [0.05, 0.1, 0.4, 0.8])
+def test_lj_fluid_energy_four_densities(density):
+    """LJ fluid energies vs the float64 oracle at four densities
+    (reference test_testsystems.py:168-219 ran the same sweep vs OpenMM)."""
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=216, reduced_density=density)
+    pos_np = np.asarray(
+        fluid.positions.value_in_unit_system(u.md_unit_system), dtype=np.float64
+    )
+    # jitter so the lattice isn't a special configuration
+    rng = np.random.default_rng(int(density * 100))
+    pos_np = pos_np + rng.normal(0, 0.02, pos_np.shape)
+    pos_np = np.mod(pos_np, fluid.box_length)
+    box_np = np.eye(3) * fluid.box_length
+
+    cutoff = 3.0 * SIGMA
+    expected = lj_energy_numpy(pos_np, SIGMA, EPS, cutoff, box_np)
+
+    pos = jnp.asarray(pos_np, dtype=jnp.float32)
+    box = jnp.asarray(box_np, dtype=jnp.float32)
+
+    nl = NeighborListNsqrd(
+        OrthogonalPeriodicSpace(),
+        cutoff=cutoff * u.nanometer,
+        skin=0.3 * u.nanometer,
+        n_max_neighbors=220,
+    )
+    nl.build(pos, box)
+    e_nl = float(fluid.potential.compute_energy(pos, nl))
+    assert e_nl == pytest.approx(expected, rel=5e-5)
+
+    # and the Pallas dense kernel agrees too
+    from chiron_tpu.ops.lj_dense import LJDensePallas
+
+    op = LJDensePallas(216, SIGMA, EPS, cutoff, tm=64, tn=128)
+    _, e_k = op.force_energy(pos, box)
+    assert float(e_k) == pytest.approx(expected, rel=5e-5)
