@@ -104,3 +104,35 @@ class Topology:
 
     def __repr__(self) -> str:
         return f"Topology(n_atoms={len(self._atoms)})"
+
+
+class PerceivedTopology(Topology):
+    """Topology with chemical-perception queries.
+
+    The reference scaffolds these but implements none of them (reference
+    chiron/toplogy.py:24-48, incl. the [sic] ``PerveivedTopology`` spelling);
+    kept as documented placeholders so downstream code can target the API.
+    """
+
+    def get_water_molecules(self):
+        raise NotImplementedError(
+            "water perception is a placeholder (as upstream)"
+        )
+
+    def get_protein_atoms(self):
+        raise NotImplementedError(
+            "protein perception is a placeholder (as upstream)"
+        )
+
+    def get_ligand_atoms(self):
+        raise NotImplementedError(
+            "ligand perception is a placeholder (as upstream)"
+        )
+
+    def get_center_of_mass(self, positions):
+        """COM of the system in the positions' units."""
+        import numpy as _np
+
+        m = self.masses()
+        w = m / m.sum()
+        return _np.asarray(positions).T @ w

@@ -93,3 +93,17 @@ def get_data_file_path(relative_path: str) -> str:
     if not file_path.exists():
         raise ValueError(f"Sorry! {file_path} does not exist.")
     return str(file_path)
+
+
+def get_full_path(relative_path: str) -> str:
+    """Path of a file relative to the package root
+    (reference chiron/utils.py:41-57)."""
+    from importlib.resources import files
+
+    module_root = files("chiron_tpu")
+    return f"{module_root}/../{relative_path}"
+
+
+def slice_array(arr, start_column: int, end_column: int):
+    """Column slice helper (reference chiron/utils.py:85-98)."""
+    return arr[:, start_column:end_column]

@@ -55,8 +55,8 @@ def main():
     nbr_list = NeighborListNsqrd(
         OrthogonalPeriodicSpace(),
         cutoff=fluid.cutoff,
-        skin=0.5 * units.nanometer,
-        n_max_neighbors=180,
+        skin=0.3 * units.nanometer,
+        n_max_neighbors=384,
     )
     nbr_list.build_from_state(sampler_state)
 

@@ -1,0 +1,104 @@
+"""Banded (x-sorted) LJ kernel tests: oracle parity + sort machinery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiron_tpu.ops.lj_band import (
+    LJBandPallas,
+    band_width_needed,
+    sort_by_x,
+)
+from chiron_tpu.ops.lj_dense import LJDensePallas
+
+SIGMA, EPS, CUTOFF = 0.34, 0.99579, 1.02
+
+
+def _fluid(n, rho, seed=0):
+    L = (n * SIGMA ** 3 / rho) ** (1 / 3)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(0, L, (n, 3)), dtype=jnp.float32)
+    box = jnp.asarray(np.eye(3) * L, dtype=jnp.float32)
+    return x, box, L
+
+
+@pytest.mark.parametrize("n,rho", [(2000, 0.8), (1500, 0.3)])
+def test_band_force_matches_dense(n, rho):
+    x, box, L = _fluid(n, rho)
+    dense = LJDensePallas(n, SIGMA, EPS, CUTOFF, tm=64, tn=128, triangle=False)
+    band = LJBandPallas(n, SIGMA, EPS, CUTOFF, margin=0.15, tm=64)
+
+    pos3 = dense.pad_positions(x)
+    pos3s, _ = sort_by_x(pos3, (), n)
+    band.calibrate(pos3s, L)
+    bd = jnp.diagonal(box).reshape(1, 3)
+
+    F_band = band.force(pos3s, bd, approx_recip=False)[:, :n].T
+    xs = pos3s[:, :n].T
+    F_ref, _ = dense.force_energy(xs, box)
+    scale = float(jnp.max(jnp.abs(F_ref)))
+    assert float(jnp.max(jnp.abs(F_band - F_ref))) / scale < 1e-5
+
+
+def test_band_valid_after_small_drift():
+    """Forces stay exact while per-particle x drift < margin (the sorted
+    order may go stale but the band must still cover every pair)."""
+    n, rho = 1500, 0.4
+    x, box, L = _fluid(n, rho)
+    dense = LJDensePallas(n, SIGMA, EPS, CUTOFF, tm=64, tn=128, triangle=False)
+    band = LJBandPallas(n, SIGMA, EPS, CUTOFF, margin=0.15, tm=64)
+    pos3s, _ = sort_by_x(dense.pad_positions(x), (), n)
+    band.calibrate(pos3s, L)
+    bd = jnp.diagonal(box).reshape(1, 3)
+
+    # drift every particle by < margin in x (and freely in y/z)
+    rng = np.random.default_rng(1)
+    drift = jnp.asarray(
+        rng.uniform(-0.12, 0.12, (3, pos3s.shape[1])), dtype=jnp.float32
+    )
+    moved = pos3s + drift
+    moved = moved - jnp.floor(moved / L) * L
+    # zero the padding columns again
+    mask = (jnp.arange(pos3s.shape[1]) < n).astype(jnp.float32)
+    moved = moved * mask
+
+    F_band = band.force(moved, bd, approx_recip=False)[:, :n].T
+    F_ref, _ = dense.force_energy(moved[:, :n].T, box)
+    scale = float(jnp.max(jnp.abs(F_ref)))
+    assert float(jnp.max(jnp.abs(F_band - F_ref))) / scale < 1e-5
+
+
+def test_band_inapplicable_small_box():
+    """W >= n/2 (box only a few cutoffs wide) must raise toward the dense
+    kernel instead of silently double counting."""
+    n, rho = 400, 0.8
+    x, box, L = _fluid(n, rho)
+    dense = LJDensePallas(n, SIGMA, EPS, CUTOFF, tm=64, tn=128, triangle=False)
+    band = LJBandPallas(n, SIGMA, EPS, CUTOFF, margin=0.15, tm=64)
+    pos3s, _ = sort_by_x(dense.pad_positions(x), (), n)
+    with pytest.raises(ValueError):
+        band.calibrate(pos3s, L)
+
+
+def test_band_width_needed():
+    # 8 equally spaced particles on a ring of L=8: reach 2.1 covers 2 ahead
+    xs = jnp.asarray(np.arange(8, dtype=np.float32))
+    w = int(band_width_needed(xs, 8, 2.1, 8.0))
+    assert w == 3  # strictly, x+2.1 includes ranks +1, +2 (and boundary +3 for right-side counts)
+
+
+def test_sort_by_x_with_payload():
+    n = 10
+    rng = np.random.default_rng(0)
+    pos3 = jnp.asarray(rng.uniform(0, 5, (3, 16)), dtype=jnp.float32)
+    pos3 = pos3 * (jnp.arange(16) < n)
+    payload = jnp.arange(16, dtype=jnp.float32)
+    pos3s, (p_s,) = sort_by_x(pos3, (payload,), n)
+    xs = np.asarray(pos3s[0][:n])
+    assert np.all(np.diff(xs) >= 0)
+    # payload permuted consistently: payload value identifies original column
+    orig = np.asarray(pos3[0])
+    for i in range(n):
+        j = int(p_s[i])
+        assert np.isclose(xs[i], orig[j])

@@ -88,3 +88,31 @@ def test_strip_md():
     assert u.strip_md(3.0 * u.angstrom, u.nanometer) == pytest.approx(0.3)
     with pytest.raises(ValueError):
         u.strip_md(3.0 * u.picosecond, u.nanometer)
+
+
+def test_run_config_roundtrip():
+    from chiron_tpu.config import RunConfig
+
+    cfg = RunConfig()
+    cfg.system.n_particles = 4000
+    text = cfg.to_json()
+    cfg2 = RunConfig.from_json(text)
+    assert cfg2.system.n_particles == 4000
+    assert cfg2.dynamics.timestep_fs == 2.0
+
+
+def test_misc_util_parity():
+    import numpy as np
+
+    from chiron_tpu.topology import PerceivedTopology
+    from chiron_tpu.utils import get_full_path, slice_array
+
+    assert slice_array(np.arange(12).reshape(3, 4), 1, 3).shape == (3, 2)
+    assert get_full_path("README.md").endswith("README.md")
+    top = PerceivedTopology.uniform(3, 10.0)
+    com = top.get_center_of_mass(np.ones((3, 3)))
+    assert np.allclose(com, 1.0)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        top.get_water_molecules()
