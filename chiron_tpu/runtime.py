@@ -112,6 +112,7 @@ def make_fast_lj_runner(
         epsilon=potential.epsilon,
         cutoff=potential.cutoff,
         tm=tm,
+        tn=tm,  # triangle kernel uses square tiles; keep padding minimal
     )
     n_pad = op.n_pad
 
