@@ -34,6 +34,8 @@ import jax.numpy as jnp
 
 from . import units
 from .neighbors import (
+    DensePairs,
+    DensePairsState,
     NeighborListNsqrd,
     NeighborListState,
     PairListNsqrd,
@@ -90,7 +92,7 @@ def make_baoab_step_fn(
         cutoff_and_skin = pairs.cutoff_md + pairs.skin_md
         skin = pairs.skin_md
         capacity = pairs.n_max_neighbors
-    elif isinstance(pairs, PairListNsqrd):
+    elif isinstance(pairs, (PairListNsqrd, DensePairs)):
         space = pairs.space
     else:
         space = None
@@ -228,6 +230,8 @@ class LangevinIntegrator:
             from dataclasses import replace as _replace
 
             nbr_state = _replace(nbr_list.state, box_vectors=box)
+        elif isinstance(nbr_list, DensePairs):
+            nbr_state = DensePairsState(box_vectors=box)
         else:
             nbr_state = None
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from . import units
 from .neighbors import (
+    DensePairs,
     NeighborListNsqrd,
     PairListNsqrd,
     PairsBase,
@@ -106,8 +107,8 @@ def _refresh_list_state(pairs, positions, box_vectors, list_state, force: bool):
                 lambda: list_state,
             )
         return new_state, new_state.overflow
-    if isinstance(pairs, PairListNsqrd):
-        # All-pairs structure is static; only the box rides along.
+    if isinstance(pairs, (PairListNsqrd, DensePairs)):
+        # List-free / static structures: only the box rides along.
         return replace(list_state, box_vectors=box_vectors), jnp.asarray(False)
     return list_state, jnp.asarray(False)
 
@@ -516,10 +517,8 @@ class MCMove(MCMCMove):
             sampler_state.box_vectors = carry.box_vectors
         if nbr_list is not None:
             nbr_list._state = carry.list_state
-            if isinstance(nbr_list, PairListNsqrd):
-                nbr_list.box_vectors = carry.list_state.box_vectors
-            else:
-                nbr_list.box_vectors = carry.list_state.box_vectors
+            nbr_list.box_vectors = carry.list_state.box_vectors
+            if isinstance(nbr_list, NeighborListNsqrd):
                 nbr_list.ref_positions = carry.list_state.ref_positions
 
         return sampler_state, thermodynamic_state, nbr_list

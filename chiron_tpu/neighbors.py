@@ -74,6 +74,23 @@ class NeighborListState:
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["box_vectors"],
+    meta_fields=[],
+)
+@dataclass(frozen=True)
+class DensePairsState:
+    """State of the dense (list-free) scheme: just the box.
+
+    The fused Pallas kernel recomputes all pairs every evaluation, so the
+    only dynamic datum is the box -- which makes barostat moves trivially
+    compatible (no rebuilds ever).
+    """
+
+    box_vectors: jnp.ndarray
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["all_pairs", "reduction_mask", "box_vectors"],
     meta_fields=[],
 )
@@ -428,6 +445,90 @@ class NeighborListNsqrd(PairsBase):
                 self._state, jnp.asarray(positions), self.skin_md, self.space
             )
         )
+
+
+class DensePairs(PairsBase):
+    """List-free dense pair scheme backed by the fused Pallas kernel.
+
+    The TPU-first alternative to both list classes for periodic LJ systems:
+    no neighbor tables, no rebuild predicate, no capacity tuning -- the
+    kernel recomputes all pairs each evaluation, which is faster than any
+    indexed structure below N ~ 20k on this hardware (BENCH.md).  Drop it in
+    wherever a `NeighborListNsqrd`/`PairListNsqrd` is accepted:
+
+    >>> pairs = DensePairs(OrthogonalPeriodicSpace())
+    >>> pairs.build_from_state(sampler_state)
+    >>> integrator.run(..., nbr_list=pairs)         # or MC moves
+    """
+
+    def __init__(self, space: Space,
+                 cutoff=units.Quantity(1.2, units.nanometer)):
+        if not isinstance(space, OrthogonalPeriodicSpace):
+            raise TypeError(
+                "DensePairs requires an OrthogonalPeriodicSpace (the fused "
+                "kernel applies minimum-image PBC)"
+            )
+        super().__init__(space, cutoff)
+        self._state: Optional[DensePairsState] = None
+
+    @property
+    def cutoff(self):
+        return self._cutoff
+
+    @cutoff.setter
+    def cutoff(self, cutoff):
+        if not cutoff.unit.is_compatible(units.angstrom):
+            raise ValueError(
+                f"cutoff must be a unit.Quantity with units of distance, "
+                f"cutoff.unit = {cutoff.unit}"
+            )
+        self._cutoff = cutoff
+
+    @property
+    def cutoff_md(self) -> float:
+        return float(self.cutoff.value_in_unit_system(units.md_unit_system))
+
+    @property
+    def state(self) -> DensePairsState:
+        if self._state is None:
+            raise ValueError("DensePairs must be built before use")
+        return self._state
+
+    def build(self, positions, box_vectors) -> None:
+        positions = _positions_to_md(positions)
+        if box_vectors is None:
+            raise ValueError("DensePairs requires box vectors")
+        box_vectors = _box_to_md(box_vectors)
+        self.n_particles = positions.shape[0]
+        self.ref_positions = positions
+        self.box_vectors = box_vectors
+        self._state = DensePairsState(box_vectors=box_vectors)
+        self.is_built = True
+
+    def calculate(self, positions: jnp.ndarray):
+        """Dense distances via the jnp oracle path (API parity; the hot
+        paths use the potential's fused kernel instead)."""
+        positions = jnp.asarray(positions)
+        if positions.shape[0] != self.n_particles:
+            raise ValueError(
+                f"Number of particles cannot changes without rebuilding. "
+                f"Positions must have shape ({self.n_particles}, 3), "
+                f"found {positions.shape}"
+            )
+        n = positions.shape[0]
+        ids = jnp.arange(n, dtype=jnp.int32)
+        r_ij, dist = self.space.displacement(
+            positions[:, None, :], positions[None, :, :],
+            self.state.box_vectors,
+        )
+        mask = (ids[:, None] < ids[None, :]) & (dist < self.cutoff_md)
+        pairs = jnp.broadcast_to(ids[None, :], (n, n))
+        n_pairs = mask.sum(axis=1)
+        return n_pairs, pairs, mask.astype(jnp.int32), dist, r_ij
+
+    def check(self, positions: jnp.ndarray) -> bool:
+        """Never needs rebuilding (box updates flow through the state)."""
+        return positions.shape[0] != getattr(self, "n_particles", -1)
 
 
 class PairListNsqrd(PairsBase):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from . import units
 from .neighbors import (
+    DensePairs,
     NeighborListNsqrd,
     NeighborListState,
     PairListNsqrd,
@@ -168,6 +169,27 @@ class LJPotential(NeuralNetworkPotential):
     def cache_token(self):
         return ("LJPotential", self.sigma, self.epsilon, self.cutoff)
 
+    def _dense_op(self, pairs: "DensePairs"):
+        """Memoized fused-kernel instance for the DensePairs scheme."""
+        from .ops.lj_dense import LJDensePallas
+
+        n = pairs.n_particles
+        if pairs.cutoff_md != self.cutoff:
+            raise ValueError(
+                f"DensePairs cutoff ({pairs.cutoff_md}) must equal the "
+                f"potential cutoff ({self.cutoff})"
+            )
+        cache = getattr(self, "_dense_ops", None)
+        if cache is None:
+            cache = {}
+            self._dense_ops = cache
+        if n not in cache:
+            tm = 512 if n >= 2048 else 128
+            cache[n] = LJDensePallas(
+                n, self.sigma, self.epsilon, self.cutoff, tm=tm, tn=tm
+            )
+        return cache[n]
+
     # -- host-facing API ----------------------------------------------------
     def compute_energy(self, positions: jnp.ndarray, nbr_list=None):
         """Total LJ energy (reference potential.py:215-279)."""
@@ -186,6 +208,9 @@ class LJPotential(NeuralNetworkPotential):
                 f"Neighborlist cutoff ({nbr_list.cutoff}) must be the same as "
                 f"the potential cutoff ({self.cutoff})"
             )
+        if isinstance(nbr_list, DensePairs):
+            op = self._dense_op(nbr_list)
+            return op.energy(positions, nbr_list.state.box_vectors)
         _, _, mask, dist, _ = nbr_list.calculate(positions)
         return lj_energy_from_dist(dist, mask, self.sigma, self.epsilon)
 
@@ -229,6 +254,20 @@ class LJPotential(NeuralNetworkPotential):
                 dist = jnp.sqrt(r2_safe)
                 mask = half & (dist < cutoff)
                 return lj_energy_from_dist(dist, mask, sigma, epsilon)
+
+            return energy_fn
+
+        if isinstance(pairs, DensePairs):
+            # Fused Pallas kernel path: all pairs recomputed per evaluation,
+            # box vectors are data in the DensePairsState (barostat-safe).
+            op = self._dense_op(pairs)
+
+            def energy_fn(positions, list_state):
+                return op.energy(
+                    positions,
+                    list_state.box_vectors if list_state is not None
+                    else pairs.state.box_vectors,
+                )
 
             return energy_fn
 

@@ -14,7 +14,7 @@ from chiron_tpu.mcmc import (
     MonteCarloDisplacementMove,
     MoveSchedule,
 )
-from chiron_tpu.neighbors import NeighborListNsqrd, OrthogonalPeriodicSpace
+from chiron_tpu.neighbors import DensePairs, OrthogonalPeriodicSpace
 from chiron_tpu.potential import LJPotential
 from chiron_tpu.reporters import BaseReporter, MCReporter
 from chiron_tpu.states import SamplerState, ThermodynamicState
@@ -52,12 +52,9 @@ def main():
         box_vectors=fluid.box_vectors,
     )
 
-    nbr_list = NeighborListNsqrd(
-        OrthogonalPeriodicSpace(),
-        cutoff=fluid.cutoff,
-        skin=0.3 * units.nanometer,
-        n_max_neighbors=384,
-    )
+    # DensePairs: the fused-kernel scheme -- no neighbor tables, no skin,
+    # no capacity tuning, barostat box changes flow through the state.
+    nbr_list = DensePairs(OrthogonalPeriodicSpace(), cutoff=fluid.cutoff)
     nbr_list.build_from_state(sampler_state)
 
     BaseReporter.set_directory("output/lj_mcmc")

@@ -237,3 +237,72 @@ def test_displacement_move_lj_with_neighbor_list():
     assert move.n_accepted > 0
     e = fluid.potential.compute_energy(out.positions, nbr_out)
     assert bool(jnp.isfinite(e))
+
+
+def test_dense_pairs_scheme_mc():
+    """DensePairs (fused-kernel scheme) drives MC moves incl. barostat with
+    box changes flowing through the state (no rebuilds)."""
+    from chiron_tpu.neighbors import DensePairs
+
+    PRNG.set_seed(1234)
+    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.3)
+    ss = SamplerState(
+        positions=fluid.positions,
+        current_PRNG_key=PRNG.get_random_key(),
+        box_vectors=fluid.box_vectors,
+    )
+    ts = ThermodynamicState(
+        potential=fluid.potential,
+        temperature=140.0 * u.kelvin,
+        pressure=10.0 * u.atmosphere,
+    )
+    pairs = DensePairs(OrthogonalPeriodicSpace(), cutoff=fluid.cutoff)
+    pairs.build_from_state(ss)
+
+    # energy parity with the neighbor-list path
+    nl = NeighborListNsqrd(
+        OrthogonalPeriodicSpace(), cutoff=fluid.cutoff,
+        skin=0.4 * u.nanometer, n_max_neighbors=64,
+    )
+    nl.build_from_state(ss)
+    e_dense = float(fluid.potential.compute_energy(ss.positions, pairs))
+    e_list = float(fluid.potential.compute_energy(ss.positions, nl))
+    assert e_dense == pytest.approx(e_list, rel=1e-5)
+
+    disp = MonteCarloDisplacementMove(
+        displacement_sigma=0.02 * u.nanometer, number_of_moves=50
+    )
+    ss, ts, pairs = disp.update(ss, ts, pairs)
+    assert disp.n_accepted > 0
+
+    baro = MonteCarloBarostatMove(volume_max_scale=0.1, number_of_moves=50)
+    ss, ts, pairs = baro.update(ss, ts, pairs)
+    assert baro.n_proposed == 50
+    # box actually changed through the dense state
+    assert bool(
+        jnp.any(pairs.state.box_vectors != fluid.box_vectors.value_in_unit_system(
+            u.md_unit_system
+        ))
+    )
+    e = fluid.potential.compute_energy(ss.positions, pairs)
+    assert bool(jnp.isfinite(e))
+
+
+def test_dense_pairs_langevin():
+    """DensePairs through the LangevinIntegrator class API."""
+    from chiron_tpu.integrators import LangevinIntegrator
+    from chiron_tpu.neighbors import DensePairs
+
+    PRNG.set_seed(1234)
+    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.3)
+    ss = SamplerState(
+        positions=fluid.positions,
+        current_PRNG_key=PRNG.get_random_key(),
+        box_vectors=fluid.box_vectors,
+    )
+    ts = ThermodynamicState(potential=fluid.potential, temperature=120.0 * u.kelvin)
+    pairs = DensePairs(OrthogonalPeriodicSpace(), cutoff=fluid.cutoff)
+    integ = LangevinIntegrator(timestep=2.0 * u.femtoseconds)
+    ss_out, pairs_out = integ.run(ss, ts, number_of_steps=100, nbr_list=pairs)
+    e = fluid.potential.compute_energy(ss_out.positions, pairs_out)
+    assert bool(jnp.isfinite(e))
