@@ -75,6 +75,62 @@ SCRIPT = textwrap.dedent(
 )
 
 
+SIXTYFOUR_SCRIPT = textwrap.dedent(
+    """
+    import json
+    import jax
+    import numpy as np
+
+    assert jax.device_count() == 8
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel import ParallelTemperingSampler, make_replica_mesh
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    ho = HarmonicOscillator()
+    R = 64  # the BASELINE.json flagship replica count: 8 per device
+    temps = [300.0 * 1.03 ** i for i in range(R)]
+    pt = ParallelTemperingSampler(
+        potential=ho.potential,
+        temperatures=[t * units.kelvin for t in temps],
+        timestep=2.0 * units.femtoseconds,
+        mesh=make_replica_mesh(8),
+    )
+    pt.initialize(ho.positions, seed=11)
+    pt.run(n_iterations=5, steps_per_iteration=50)
+    U = pt._u_history[-1]
+    print(json.dumps({
+        "n": int(len(U)),
+        "finite": bool(np.all(np.isfinite(U))),
+        "sharding": str(pt.positions.sharding.spec),
+        "swap_acc": pt.swap_acceptance_fraction,
+    }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_64_replica_parallel_tempering_on_8_devices():
+    """The flagship 64-replica config: 8 replica blocks per device via
+    lax.map inside shard_map shards."""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", SIXTYFOUR_SCRIPT],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    out = json.loads(result.stdout.strip().splitlines()[-1])
+    assert out["n"] == 64
+    assert out["finite"]
+    assert "replica" in out["sharding"]
+    assert out["swap_acc"] > 0.1, out
+
+
 DENSE_SCRIPT = textwrap.dedent(
     """
     import json
