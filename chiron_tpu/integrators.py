@@ -243,7 +243,10 @@ class LangevinIntegrator:
             if hasattr(potential, "cache_token")
             else id(potential),
             type(nbr_list).__name__ if nbr_list is not None else None,
+            type(getattr(nbr_list, "space", None)).__name__,
             getattr(nbr_list, "n_max_neighbors", None),
+            getattr(nbr_list, "cutoff_md", None),
+            getattr(nbr_list, "skin_md", None),
             x0.shape[0],
             dt,
             gamma,

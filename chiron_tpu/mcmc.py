@@ -447,12 +447,19 @@ class MCMove(MCMCMove):
             if hasattr(potential, "cache_token")
             else id(potential),
             type(nbr_list).__name__ if nbr_list is not None else None,
+            type(getattr(nbr_list, "space", None)).__name__,
             getattr(nbr_list, "n_max_neighbors", None),
+            getattr(nbr_list, "cutoff_md", None),
+            getattr(nbr_list, "skin_md", None),
             sampler_state.number_of_particles,
             float(thermodynamic_state.kT_md),
             None
             if thermodynamic_state.pressure is None
             else float(thermodynamic_state.pressure_md),
+            tuple(self.atom_subset) if getattr(self, "atom_subset", None)
+            else None,
+            self.autotune,
+            self.autotune_interval,
         )
         if cache_key not in self._step_cache:
             self._step_cache.clear()

@@ -90,7 +90,7 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
             dz = dz - Lz * jnp.floor(dz / Lz + 0.5)
             r2 = dx * dx + dy * dy + dz * dz
             m = (r2 < cutoff2) & pm
-            r2s = jnp.maximum(r2, 0.25 * sigma2)
+            r2s = jnp.maximum(r2, 1e-4 * sigma2)
             if approx_recip:
                 inv = pl.reciprocal(r2s, approx=True)
             else:
@@ -214,6 +214,11 @@ class LJBandPallas:
         self.tm = tm
         self.interpret = interpret
         self.n_pad = _round_up(n, tm)
+        if w is not None and w >= (n - 1) // 2:
+            raise ValueError(
+                f"band width w={w} >= n/2 would double-count pairs; "
+                f"use LJDensePallas for boxes this small"
+            )
         self.w = w  # resolved in calibrate()
 
     def calibrate(self, pos3_sorted: jnp.ndarray, L: float,

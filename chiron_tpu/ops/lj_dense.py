@@ -58,9 +58,11 @@ def _lj_tile_math(xi, yi, zi, xj, yj, zj, inv_L, L, sigma2, eps4, cutoff2,
     dz = dz - L[2] * jnp.floor(dz * inv_L[2] + 0.5)
     r2 = dx * dx + dy * dy + dz * dz
     mask = (r2 < cutoff2) & pair_mask
-    # clamp instead of select before the reciprocal: one op cheaper, and the
-    # clamp floor (sigma/2)^2 keeps the masked slots finite.
-    r2s = jnp.maximum(r2, 0.25 * sigma2)
+    # clamp instead of select before the reciprocal: one op cheaper.  The
+    # floor (sigma/100)^2 only guards division-by-zero on masked slots;
+    # real pairs match the jnp oracle down to r = sigma/100 (deeper overlap
+    # is a >1e20 kT configuration that any sampler rejects).
+    r2s = jnp.maximum(r2, 1e-4 * sigma2)
     if approx_recip:
         inv = pl.reciprocal(r2s, approx=True)
     else:
@@ -317,24 +319,27 @@ class LJDensePallas:
 
     def __init__(self, n: int, sigma: float, epsilon: float, cutoff: float,
                  tm: int = 256, tn: int = 512, triangle: bool = True,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 n_pad: Optional[int] = None):
         self.n = n
         self.sigma = float(sigma)
         self.epsilon = float(epsilon)
         self.cutoff = float(cutoff)
-        # pad so both tile sizes divide n_pad
-        self.n_pad = _round_up(n, max(tm, tn))
+        # pad so both tile sizes divide n_pad; callers may request extra
+        # padding (e.g. the sharded path needs n_pad % (devices*tm) == 0)
+        self.n_pad = _round_up(n_pad if n_pad is not None else n,
+                               max(tm, tn))
         self.tm = tm
         self.tn = tn
         self.triangle = triangle
         if interpret is None:
             # Pallas TPU kernels run interpreted on CPU backends (tests/CI).
             interpret = jax.default_backend() != "tpu"
-        if not interpret and tm < 128:
+        if not interpret and (tm < 128 or tn < 128):
             # Mosaic requires >=128-lane tiles on hardware.
             tm = max(tm, 128)
             tn = max(tn, 128)
-            self.n_pad = _round_up(n, max(tm, tn))
+            self.n_pad = _round_up(self.n_pad, max(tm, tn))
             self.tm, self.tn = tm, tn
 
         n_, s_, e_, c_, tm_, tn_, npad_ = (

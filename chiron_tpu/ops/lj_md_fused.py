@@ -48,7 +48,7 @@ def _make_md_kernel(n: int, n_pad: int, tm: int, n_steps: int,
     cutoff2 = cutoff * cutoff
     n_tiles = n_pad // tm
 
-    def kernel(box_ref, seed_ref, kT_ref, minv_ref, sigv_ref,
+    def kernel(box_ref, seed_ref, off_ref, kT_ref, minv_ref, sigv_ref,
                x_in, v_in, f_in, x_ref, v_ref, f_ref):
         s = pl.program_id(0)
         t = pl.program_id(1)
@@ -85,10 +85,11 @@ def _make_md_kernel(n: int, n_pad: int, tm: int, n_steps: int,
                 * jnp.uint32(n_pad)
                 + jax.lax.broadcasted_iota(jnp.uint32, (3, n_pad), 1)
             )
+            step = jnp.uint32(s) + off_ref[0, 0].astype(jnp.uint32)
             base = (
                 seed_ref[0, 0].astype(jnp.uint32)
                 * jnp.uint32(0x9E3779B9)
-                + jnp.uint32(s) * jnp.uint32(0x85EBCA6B)
+                + step * jnp.uint32(0x85EBCA6B)
             )
 
             def mix(z):
@@ -158,7 +159,7 @@ def _make_md_kernel(n: int, n_pad: int, tm: int, n_steps: int,
             dz = dz - Lz * jnp.floor(dz / Lz + 0.5)
             r2 = dx * dx + dy * dy + dz * dz
             m = (r2 < cutoff2) & pm
-            r2s = jnp.maximum(r2, 0.25 * sigma2)
+            r2s = jnp.maximum(r2, 1e-4 * sigma2)
             inv = pl.reciprocal(r2s, approx=True)
             i2 = sigma2 * inv
             i6 = i2 * i2 * i2
@@ -199,7 +200,7 @@ def _make_md_kernel(n: int, n_pad: int, tm: int, n_steps: int,
     static_argnames=("n", "n_steps", "sigma", "epsilon", "cutoff", "tm",
                      "dt", "a_coef", "b_coef", "interpret"),
 )
-def fused_md_raw(x3, v3, f3, box_diag, seed, kT, minv, sigv,
+def fused_md_raw(x3, v3, f3, box_diag, seed, step_offset, kT, minv, sigv,
                  n: int, n_steps: int, sigma: float, epsilon: float,
                  cutoff: float, tm: int, dt: float, a_coef: float,
                  b_coef: float, interpret: bool):
@@ -214,6 +215,7 @@ def fused_md_raw(x3, v3, f3, box_diag, seed, kT, minv, sigv,
         in_specs=[
             pl.BlockSpec((1, 3), full, memory_space=pltpu.SMEM),   # box
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),   # offset
             pl.BlockSpec((1, 1), full, memory_space=pltpu.SMEM),   # kT
             pl.BlockSpec((1, n_pad), full, memory_space=pltpu.VMEM),  # 1/m
             pl.BlockSpec((1, n_pad), full, memory_space=pltpu.VMEM),  # sigv
@@ -231,9 +233,9 @@ def fused_md_raw(x3, v3, f3, box_diag, seed, kT, minv, sigv,
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         ],
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        input_output_aliases={6: 0, 7: 1, 8: 2},
         interpret=interpret,
-    )(box_diag, seed, kT, minv, sigv, x3, v3, f3)
+    )(box_diag, seed, step_offset, kT, minv, sigv, x3, v3, f3)
     return out
 
 
@@ -241,8 +243,10 @@ class FusedLJMD:
     """S-step fused BAOAB Langevin segments on the dense LJ kernel.
 
     >>> md = FusedLJMD(n, sigma, eps, cutoff, masses, dt, gamma, kT)
-    >>> x3, v3, f3 = md.init(x3, v3, box_diag)
     >>> x3, v3, f3 = md.run(x3, v3, f3, box_diag, seed=1, n_steps=1000)
+    >>> # continue the SAME noise stream in the next segment:
+    >>> x3, v3, f3 = md.run(x3, v3, f3, box_diag, seed=1, n_steps=1000,
+    ...                     step_offset=1000)
     """
 
     def __init__(self, n, sigma, epsilon, cutoff, masses_lane, dt, gamma, kT,
@@ -269,8 +273,13 @@ class FusedLJMD:
         self.minv = 1.0 / m
         self.sigv = jnp.sqrt(self.kT / m)
 
-    def run(self, x3, v3, f3, box_diag, seed: int, n_steps: int):
+    def run(self, x3, v3, f3, box_diag, seed: int, n_steps: int,
+            step_offset: int = 0):
         """Advance ``n_steps``; returns (x3, v3, f3) in BAOAB convention.
+
+        ``step_offset`` advances the per-step noise counter so consecutive
+        segments with the same seed draw fresh noise (pass the cumulative
+        step count); alternatively vary the seed per segment.
 
         The kernel's merged-kick scheme evolves v_half; convert on the way
         in/out so callers see the standard half-kick-synchronized velocity.
@@ -281,9 +290,11 @@ class FusedLJMD:
         # the scan integrator's B-O...-B composition exactly.
         w_in = v3 - (0.5 * dt) * f3 * self.minv
         seed_arr = jnp.asarray([[seed]], dtype=jnp.int32)
+        offset_arr = jnp.asarray([[step_offset]], dtype=jnp.int32)
         kT_arr = jnp.asarray([[self.kT]], dtype=jnp.float32)
         x3, w_out, f_out = fused_md_raw(
-            x3, w_in, f3, box_diag, seed_arr, kT_arr, self.minv, self.sigv,
+            x3, w_in, f3, box_diag, seed_arr, offset_arr, kT_arr, self.minv,
+            self.sigv,
             self.n, n_steps, self.sigma, self.epsilon, self.cutoff, self.tm,
             dt, self.a, self.b, self.interpret,
         )

@@ -8,8 +8,10 @@ module implements exactly that for the dense LJ kernel:
 * positions are replicated (an (3, N) array is tiny -- 1.2 MB at N=100k),
 * the *row axis* of the interaction matrix is sharded: each device runs the
   fused Pallas square kernel for its row block against all columns,
-* forces come out row-sharded with no collective in the hot loop; the scalar
-  energy partials reduce with one ``psum`` per evaluation.
+* forces come out with the particle axis sharded across the mesh and no
+  collective in the hot loop (energies, when needed, come from the
+  single-chip kernel or a separate reduction -- the force is what the
+  integrator consumes every step).
 
 This is the right decomposition for N >= ~50k where one chip's N^2 no longer
 fits the step budget; it composes with replica parallelism by nesting mesh
@@ -26,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-from ..ops.lj_dense import LJDensePallas, _lj_dense_raw
+from ..ops.lj_dense import LJDensePallas
 
 
 def make_sharded_lj_force(
@@ -39,13 +41,13 @@ def make_sharded_lj_force(
     tm: int = 256,
     interpret: Optional[bool] = None,
 ) -> Callable:
-    """Build ``force_energy(pos3, box_diag) -> (force3, energy)`` sharded by
-    particle rows over ``mesh``.
+    """Build ``force(pos3, box_diag) -> force3`` with the particle axis
+    sharded over ``mesh``.
 
-    ``pos3`` is the (3, n_pad) padded layout (LJDensePallas.pad_positions);
-    n_pad must be divisible by (devices * tm).  The returned force is fully
-    replicated (each device computes its row block; the out-sharding
-    concatenates), and the energy is the global sum.
+    ``pos3`` is the (3, n_pad) layout with ``n_pad == force.n_pad`` (use
+    ``force.op.pad_positions``, which is built with the mesh-compatible
+    padding).  The returned (3, n_pad) force carries its particle axis
+    sharded across the mesh; slice ``[:, :n].T`` for the host view.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -53,19 +55,15 @@ def make_sharded_lj_force(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # One op instance per row-block: rows are a contiguous slab of n_pad/n_dev
-    # particles; cols are all particles.
-    op = LJDensePallas(n, sigma, epsilon, cutoff, tm=tm, tn=tm,
-                       triangle=False, interpret=interpret)
-    n_pad = op.n_pad
-    if n_pad % (n_dev * tm) != 0:
-        # grow padding so each device gets whole tiles
-        import math
+    # Padding must satisfy both the tile and the per-device slab constraints;
+    # pass it to the op so its pad/unpad helpers agree with the sharded shape.
+    import math
 
-        n_pad = int(math.ceil(n_pad / (n_dev * tm)) * n_dev * tm)
-        op = LJDensePallas(n, sigma, epsilon, cutoff, tm=tm, tn=tm,
-                           triangle=False, interpret=interpret)
-        op.n_pad = n_pad
+    base_pad = ((n + tm - 1) // tm) * tm
+    n_pad = int(math.ceil(base_pad / (n_dev * tm)) * n_dev * tm)
+    op = LJDensePallas(n, sigma, epsilon, cutoff, tm=tm, tn=tm,
+                       triangle=False, interpret=interpret, n_pad=n_pad)
+    n_pad = op.n_pad
     rows_per_dev = n_pad // n_dev
 
     sigma2, eps4, cutoff2 = sigma * sigma, 4.0 * epsilon, cutoff * cutoff
@@ -110,7 +108,7 @@ def make_sharded_lj_force(
                 dz = dz - Lz * jnp.floor(dz / Lz + 0.5)
                 r2 = dx * dx + dy * dy + dz * dz
                 m = (r2 < cutoff2) & pm
-                r2s = jnp.maximum(r2, 0.25 * sigma2)
+                r2s = jnp.maximum(r2, 1e-4 * sigma2)
                 inv = 1.0 / r2s
                 i2 = sigma2 * inv
                 i6 = i2 * i2 * i2

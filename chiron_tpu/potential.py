@@ -174,7 +174,9 @@ class LJPotential(NeuralNetworkPotential):
         from .ops.lj_dense import LJDensePallas
 
         n = pairs.n_particles
-        if pairs.cutoff_md != self.cutoff:
+        import math as _math
+
+        if not _math.isclose(pairs.cutoff_md, self.cutoff, rel_tol=1e-9):
             raise ValueError(
                 f"DensePairs cutoff ({pairs.cutoff_md}) must equal the "
                 f"potential cutoff ({self.cutoff})"
@@ -203,7 +205,10 @@ class LJPotential(NeuralNetworkPotential):
 
         if not nbr_list.is_built:
             raise ValueError("Neighborlist must be built before use")
-        if nbr_list.cutoff.value_in_unit_system(units.md_unit_system) != self.cutoff:
+        import math as _math
+
+        nbr_cutoff = nbr_list.cutoff.value_in_unit_system(units.md_unit_system)
+        if not _math.isclose(nbr_cutoff, self.cutoff, rel_tol=1e-9):
             raise ValueError(
                 f"Neighborlist cutoff ({nbr_list.cutoff}) must be the same as "
                 f"the potential cutoff ({self.cutoff})"

@@ -240,7 +240,17 @@ class _SimulationReporter:
 
         with h5py.File(self.log_file_path, "r") as h5file:
             if name in h5file:
-                return np.array(h5file[name])
+                data = np.array(h5file[name])
+                # include rows still pending in the in-memory buffer so
+                # mid-run readers (e.g. the MBAR update each iteration) see
+                # every reported frame, not just the flushed ones
+                if self.buffer.get(name):
+                    pending = np.array(
+                        [np.asarray(v) for v in self.buffer[name]]
+                    )
+                    if pending.shape[1:] == data.shape[1:]:
+                        data = np.concatenate([data, pending], axis=0)
+                return data
             elif name in self.buffer:
                 return np.array([np.asarray(v) for v in self.buffer[name]])
             log.warning("%s not in HDF5 file", name)

@@ -50,7 +50,10 @@ class LangevinRunner:
         else:
             v = jnp.asarray(velocities, dtype=jnp.float32)
 
-        if isinstance(self.pairs, (NeighborListNsqrd, PairListNsqrd)):
+        from .neighbors import DensePairs as _DensePairs
+
+        if isinstance(self.pairs, (NeighborListNsqrd, PairListNsqrd,
+                                   _DensePairs)):
             self.pairs.build(x, box)
             nbr_state = self.pairs.state
         else:
@@ -202,6 +205,14 @@ def make_langevin_runner(
     dt = units.strip_md(timestep, units.picosecond)
     gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
 
+    from .neighbors import DensePairs as _DensePairs
+
+    if isinstance(pairs, _DensePairs) and not pairs.is_built:
+        raise ValueError(
+            "build the DensePairs scheme (build/build_from_state) before "
+            "creating a runner -- the fused kernel is specialized on the "
+            "particle count"
+        )
     energy_fn = potential.make_energy_fn(pairs)
     step_fn = make_baoab_step_fn(energy_fn, masses, dt, gamma, kT, pairs=pairs)
     return LangevinRunner(
