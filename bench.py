@@ -11,11 +11,9 @@ target is beaten.
 """
 
 import json
-import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 
 def main():

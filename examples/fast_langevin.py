@@ -6,8 +6,6 @@ runner keeps all state in the kernel's (3, n_pad) layout and each
 v5e chip (BENCH.md).
 """
 
-import time
-
 import jax
 
 from chiron_tpu import units

@@ -48,7 +48,9 @@ def main():
 
     import time
 
-    pt.run(n_iterations=2, steps_per_iteration=50)  # warmup/compile
+    # warm up with the exact step count so the timed window excludes the
+    # compile of the n_steps-static propagator
+    pt.run(n_iterations=2, steps_per_iteration=200)
     t0 = time.perf_counter()
     pt.run(n_iterations=20, steps_per_iteration=200)
     dt = time.perf_counter() - t0

@@ -29,10 +29,3 @@ def pytest_collection_modifyitems(config, items):
         if "slow" in item.keywords:
             item.add_marker(skip)
 
-
-@pytest.fixture
-def prng_seed():
-    from chiron_tpu.utils import PRNG
-
-    PRNG.set_seed(1234)
-    return 1234

@@ -106,8 +106,6 @@ def test_sort_by_x_with_payload():
 
 def test_band_runner_end_to_end():
     """Band runner: in-scan conditional resorting keeps forces exact."""
-    import numpy as np
-
     from chiron_tpu import units
     from chiron_tpu.runtime import make_band_lj_runner
     from chiron_tpu.testsystems import LennardJonesFluid

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from chiron_tpu import units
-from chiron_tpu.runtime import make_fast_lj_runner, make_langevin_runner
+from chiron_tpu.runtime import make_fast_lj_runner
 from chiron_tpu.testsystems import LennardJonesFluid
 
 

@@ -17,6 +17,27 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+def _run_on_8_cpu_devices(script: str) -> dict:
+    """Run a script in a subprocess forced onto an 8-device CPU topology.
+
+    NOTE: the axon plugin overrides JAX_PLATFORMS and a site hook imports jax
+    before script bodies run, so the platform/topology env vars must be set
+    in the subprocess environment.
+    """
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    return json.loads(result.stdout.strip().splitlines()[-1])
+
+
 # NOTE: jax is imported by a site hook before this script body runs, so the
 # platform/topology env vars MUST come from the subprocess environment (see
 # the test below), not from os.environ assignments in the script.
@@ -113,18 +134,7 @@ SIXTYFOUR_SCRIPT = textwrap.dedent(
 def test_64_replica_parallel_tempering_on_8_devices():
     """The flagship 64-replica config: 8 replica blocks per device via
     lax.map inside shard_map shards."""
-    env = dict(os.environ)
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
-    result = subprocess.run(
-        [sys.executable, "-c", SIXTYFOUR_SCRIPT],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
-    )
-    assert result.returncode == 0, result.stderr[-3000:]
-    out = json.loads(result.stdout.strip().splitlines()[-1])
+    out = _run_on_8_cpu_devices(SIXTYFOUR_SCRIPT)
     assert out["n"] == 64
     assert out["finite"]
     assert "replica" in out["sharding"]
@@ -173,22 +183,7 @@ DENSE_SCRIPT = textwrap.dedent(
 def test_parallel_tempering_dense_kernel_on_8_devices():
     """LJ parallel tempering through the dense Pallas kernel (interpret mode
     on CPU), sharded over 8 virtual devices."""
-    env = dict(os.environ)
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
-    result = subprocess.run(
-        [sys.executable, "-c", DENSE_SCRIPT],
-        cwd=REPO,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
-    assert result.returncode == 0, result.stderr[-3000:]
-    out = json.loads(result.stdout.strip().splitlines()[-1])
+    out = _run_on_8_cpu_devices(DENSE_SCRIPT)
     assert out["finite"], out
     assert out["n_energies"] == 8
     assert "replica" in out["sharding_spec"], out
@@ -235,42 +230,14 @@ SPATIAL_SCRIPT = textwrap.dedent(
 def test_spatial_sharded_force_on_8_devices():
     """Particle-axis (row) sharding of the dense pair kernel: 8 devices each
     compute a row slab; result matches the single-kernel oracle."""
-    env = dict(os.environ)
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
-    result = subprocess.run(
-        [sys.executable, "-c", SPATIAL_SCRIPT],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
-    )
-    assert result.returncode == 0, result.stderr[-3000:]
-    out = json.loads(result.stdout.strip().splitlines()[-1])
+    out = _run_on_8_cpu_devices(SPATIAL_SCRIPT)
     assert out["err"] < 1e-5, out
     assert "replica" in out["out_sharding"], out
 
 
 @pytest.mark.slow
 def test_parallel_tempering_on_8_virtual_devices():
-    env = dict(os.environ)
-    # NOTE: the axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME is
-    # the variable that reliably forces the CPU backend in this environment.
-    env["JAX_PLATFORM_NAME"] = "cpu"
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-    )
-    result = subprocess.run(
-        [sys.executable, "-c", SCRIPT],
-        cwd=REPO,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=900,
-    )
-    assert result.returncode == 0, result.stderr[-3000:]
-    out = json.loads(result.stdout.strip().splitlines()[-1])
+    out = _run_on_8_cpu_devices(SCRIPT)
     assert out["device_count"] == 8
     # the replica axis is sharded, not replicated
     assert any("replica" in s for s in out["sharding_spec"]), out["sharding_spec"]
