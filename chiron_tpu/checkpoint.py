@@ -100,7 +100,32 @@ def save_sampler_checkpoint(path, sampler_state, iteration=0, extra=None):
 
 
 def load_sampler_checkpoint(path, sampler_state):
-    """Restore a SamplerState in place from a checkpoint; returns metadata."""
-    data, meta = load_checkpoint(path, like=sampler_state.as_data())
+    """Restore a SamplerState in place from a checkpoint; returns metadata.
+
+    Tolerant to optional-field structure: a freshly constructed state without
+    velocities (or box vectors) restores from a checkpoint that has them --
+    the template is densified with placeholder leaves before unflattening.
+    """
+    import jax.numpy as jnp
+    from dataclasses import replace as _replace
+
+    data_like = sampler_state.as_data()
+    n_saved = _checkpoint_leaf_count(path)
+    # densify optional fields until the leaf counts match
+    if jax.tree_util.tree_structure(data_like).num_leaves != n_saved:
+        if data_like.velocities is None:
+            data_like = _replace(
+                data_like, velocities=jnp.zeros_like(data_like.positions)
+            )
+    if jax.tree_util.tree_structure(data_like).num_leaves != n_saved:
+        if data_like.box_vectors is None:
+            data_like = _replace(data_like, box_vectors=jnp.zeros((3, 3)))
+    data, meta = load_checkpoint(path, like=data_like)
     sampler_state.update_from_data(data)
     return meta
+
+
+def _checkpoint_leaf_count(path) -> int:
+    with np.load(path, allow_pickle=False) as data:
+        header = json.loads(bytes(data["__header__"]).decode("utf-8"))
+    return header["n_leaves"]
