@@ -1,0 +1,577 @@
+"""Culled tile-pair fused LJ MD kernel (the N~4000 flagship engine).
+
+The dense triangle kernel (ops/lj_dense.py) evaluates every (row-tile,
+col-tile) pair; at N=4000 / rho*=0.8 only ~half of those tile pairs can
+contain any in-cutoff particle pair.  This module adds the spatial hierarchy:
+
+* particles are kept sorted by an ``(x-slab, y)`` key, so a tile of
+  consecutive ranks occupies a thin x-slab and a compact y-window (z spans
+  the box) -- the TPU-friendly cell-list analogue at a granularity the VPU
+  likes (row tiles of TM ranks x col tiles of 128 lanes);
+* per tile, a circular bounding box (center, half-extent per axis) is
+  computed in XLA from offsets relative to the tile's first particle --
+  exact whenever the tile extent < L/2, conservative otherwise;
+* a tile-pair Verlet list keeps only (row, col) tiles with bbox min-image
+  distance < cutoff + slack; it stays valid while every particle drifts
+  less than slack/2 (the classic skin argument, applied at tile level);
+* for listed pairs the x periodic image is resolved by folding both x
+  vectors into a common per-pair frame (bbox centers + one constant
+  image shift): exact whenever ``h_i + h_j + drift <= L/2 - cutoff`` on
+  x, which the runner guarantees by slab sizing (and checks at every
+  rebuild).  y/z keep per-pair minimum-image math -- ~4 VPU ops/pair
+  saved on the axis the sort makes predictable;
+* the whole BAOAB step (merged kicks, in-kernel splitmix32/Box-Muller
+  noise, drift, wrap) fuses into the same Pallas call, S steps per launch:
+  state resident in VMEM, zero XLA glue per step (same scheme and noise
+  stream construction as ops/lj_md_fused.py).
+
+Reference parity: this is the TPU-native replacement for the reference's
+Verlet neighbor list + per-step Python loop (reference
+chiron/neighbors.py:378-908, chiron/integrators.py:174-205); the jnp dense
+path remains the semantic oracle (tests/test_lj_cull.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 6.2831853071795864
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Spatial sort + tile bboxes + tile-pair list (XLA host-of-kernel stage)
+# ---------------------------------------------------------------------------
+
+
+def slab_y_key(pos3: jnp.ndarray, n: int, nslab: int, L: float):
+    """Monotone spatial sort key.
+
+    ``nslab == 0``: pure x sort (best tile-pair culling at tm=tn=128 --
+    thin x-slab tiles, the banded-kernel ordering).  ``nslab >= 1``:
+    (x-slab index, y) lexicographic.  Padding columns get +inf-like
+    sentinels so they stay at the end.
+    """
+    n_pad = pos3.shape[1]
+    if nslab == 0:
+        key = pos3[0]
+    else:
+        slab_w = L / nslab
+        slab = jnp.clip(jnp.floor(pos3[0] / slab_w), 0, nslab - 1)
+        key = slab * (2.0 * L) + pos3[1]
+    return jnp.where(jnp.arange(n_pad) < n, key, jnp.float32(3.0e38))
+
+
+def sort_by_key(key, pos3: jnp.ndarray, payloads: Tuple[jnp.ndarray, ...]):
+    """Sort the (3, n_pad) layout (and payload rows) by ``key``."""
+    operands = [key, pos3[0], pos3[1], pos3[2]] + list(payloads)
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    pos3_sorted = jnp.stack(sorted_ops[1:4])
+    return pos3_sorted, tuple(sorted_ops[4:])
+
+
+def tile_bboxes(pos3: jnp.ndarray, n: int, tile: int, box_diag: jnp.ndarray):
+    """Circular per-tile bounding boxes: (centers, halves), each (3, n_tiles).
+
+    Offsets are taken relative to the tile's first particle and min-imaged:
+    exact when the tile's true extent < L/2 (always for culling purposes --
+    a fatter tile folds to half-extent <= L/2, which only makes the bbox
+    distance a smaller, still-valid lower bound).  Padding columns must
+    carry a real particle's coordinates (the caller replicates column n-1).
+    """
+    n_pad = pos3.shape[1]
+    n_tiles = n_pad // tile
+    L = box_diag.reshape(3, 1, 1)
+    p = pos3.reshape(3, n_tiles, tile)
+    ref = p[:, :, :1]
+    d = p - ref
+    d = d - L * jnp.round(d / L)
+    lo = jnp.min(d, axis=2)
+    hi = jnp.max(d, axis=2)
+    centers = ref[:, :, 0] + 0.5 * (lo + hi)
+    halves = 0.5 * (hi - lo)
+    return centers, halves
+
+
+class TilePairList(NamedTuple):
+    """Capacity-padded tile-pair Verlet list (all leaves device arrays).
+
+    ``rowcx`` is the row tile's bbox x-center and ``ccx`` the col tile's
+    x-center pre-shifted by the pair's periodic image: the kernel folds both
+    x-coordinate vectors into this common frame (within L/2 of the center)
+    and subtracts raw -- exact minimum-image x for every in-cutoff pair
+    under the hsum_x bound (checked at every build).  y and z use per-pair
+    minimum image (their tile extents are density-dependent and cannot be
+    bounded a priori).
+
+    Entries are sorted by (row tile, general-before-fast, col tile);
+    ``ptr2`` holds the 2*nr+1 segment boundaries: row i's general entries
+    live in [ptr2[2i], ptr2[2i+1]) (rank-overlap or padding-tile rects --
+    they need the full ``col>row & col<n`` mask) and its fast entries in
+    [ptr2[2i+1], ptr2[2i+2]) (cutoff mask only).
+
+    rows/cols index tiles; ``rowcx`` is per ROW TILE (indexable by i).
+    """
+
+    rows: jnp.ndarray      # (1, capacity) int32 row-tile index (nr = pad)
+    cols: jnp.ndarray      # (1, capacity) int32 col-tile index
+    ccx: jnp.ndarray       # (1, capacity) f32 image-shifted col x-center
+    ptr2: jnp.ndarray      # (1, 2*nr+1) int32 segment boundaries
+    rowcx: jnp.ndarray     # (1, nr) f32 row bbox x-centers
+    count: jnp.ndarray     # (1, 1) int32 live entries
+    overflowed: jnp.ndarray  # () bool: capacity exceeded or shift bound broken
+
+
+def build_tile_pairs(
+    pos3: jnp.ndarray,
+    n: int,
+    tm: int,
+    tn: int,
+    box_diag: jnp.ndarray,
+    cutoff: float,
+    slack: float,
+    capacity: int,
+) -> TilePairList:
+    """Build the tile-pair list + constant shifts from current positions.
+
+    Keeps ordered rectangles (row tile i of TM ranks, col tile c of TN
+    ranks) whose bbox min-image distance < cutoff + slack and that can hold
+    a slot with col rank > row rank (the kernel's single-count mask).
+    Entries appear row-major (grouped by row tile).
+    """
+    n_pad = pos3.shape[1]
+    # pin padding columns to the last real particle so tile bboxes stay
+    # tight no matter where integration drifted the pad slots
+    pad_mask = jnp.arange(n_pad) < n
+    pos3 = jnp.where(pad_mask, pos3, pos3[:, n - 1:n])
+    nr, nc = n_pad // tm, n_pad // tn
+    rcen, rhal = tile_bboxes(pos3, n, tm, box_diag)
+    ccen, chal = tile_bboxes(pos3, n, tn, box_diag)
+    L = box_diag.reshape(3, 1, 1)
+    dc = rcen[:, :, None] - ccen[:, None, :]
+    dc = dc - L * jnp.round(dc / L)
+    hsum = rhal[:, :, None] + chal[:, None, :]
+    dmin = jnp.maximum(0.0, jnp.abs(dc) - hsum)
+    reach = cutoff + slack
+    near = jnp.sum(dmin * dmin, axis=0) < reach * reach
+    ri = jnp.arange(nr)[:, None]
+    ci = jnp.arange(nc)[None, :]
+    # a rectangle can contribute only if some col rank exceeds some row rank
+    # and both tiles contain real particles
+    useful = (
+        (ci * tn + (tn - 1) > ri * tm)
+        & (ri * tm < n)
+        & (ci * tn < n)
+    )
+    keep = near & useful
+    # image-shifted col x-centers: ccx' = ccx + Lx*round((rcx - ccx)/Lx)
+    # brings the col frame within Lx/2 of the row frame; the kernel folds
+    # raw x into these frames, making the x displacement exact minimum-
+    # image for every in-cutoff pair (under the hsum_x bound below).  y/z
+    # stay per-pair min-image in the kernel.
+    dcx_raw = rcen[0][:, None] - ccen[0][None, :]
+    Lx = box_diag[0]
+    ccx_sh = ccen[0][None, :] + jnp.round(dcx_raw / Lx) * Lx
+    # validity of the constant-frame convention for x: the runner sizes
+    # slabs so this never trips for homogeneous systems; flag regardless
+    bound_x = 0.5 * Lx - cutoff - slack
+    shift_bad = jnp.any(keep & (hsum[0] > bound_x))
+
+    # general rects need the full (col>row & col<n) mask: rank overlap
+    # with the row tile, or rects touching the padding (tail) tiles
+    last_real_col = (n - 1) // tn
+    last_real_row = (n - 1) // tm
+    general = (
+        (ci * tn < ri * tm + tm)      # some col rank <= some row rank
+        | (ci >= last_real_col)       # tail col tile holds padding slots
+        | (ri >= last_real_row)       # tail row tile holds padding slots
+    )
+
+    flat_keep = keep.reshape(-1)
+    total = jnp.sum(flat_keep.astype(jnp.int32))
+    idx = jnp.nonzero(flat_keep, size=capacity, fill_value=nr * nc)[0]
+    valid = idx < nr * nc
+    safe = jnp.where(valid, idx, 0)
+    rows = jnp.where(valid, safe // nc, nr).astype(jnp.int32)
+    cols = jnp.where(valid, safe % nc, 0).astype(jnp.int32)
+    gen = jnp.where(valid, general.reshape(-1)[safe], False)
+    # order entries by (row, general-first, col) and compute the 2nr+1
+    # segment boundary table the kernel walks
+    okey = (rows * 2 + jnp.where(gen, 0, 1)) * nc + cols
+    order = jnp.argsort(okey)
+    okey = okey[order]
+    rows = rows[order]
+    cols = cols[order]
+
+    ccx_flat = jnp.broadcast_to(ccx_sh, (nr, nc)).reshape(-1)
+    ccx = jnp.where(valid, ccx_flat[safe], 0.0).astype(jnp.float32)[order]
+    ptr2 = jnp.searchsorted(
+        okey, jnp.arange(2 * nr + 1, dtype=jnp.int32) * nc
+    ).astype(jnp.int32)
+    return TilePairList(
+        rows=rows.reshape(1, -1),
+        cols=cols.reshape(1, -1),
+        ccx=ccx.reshape(1, -1),
+        ptr2=ptr2.reshape(1, -1),
+        rowcx=rcen[0].astype(jnp.float32).reshape(1, -1),
+        count=jnp.minimum(total, capacity).reshape(1, 1),
+        overflowed=(total > capacity) | shift_bad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+                    n, n_pad, tm, tn,
+                    Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
+                    sigma2, eps6x4, cutoff2, approx_recip):
+    """Row-grouped culled force pass: for each row tile, the row coordinate
+    vectors are loaded/canonicalized once and the row accumulator carried
+    across that row's list entries (single row RMW at the end); each entry
+    RMWs only the col force slice.  General entries (rank overlap/padding)
+    run a specialized inner loop with the full mask; fast entries use the
+    cutoff mask alone."""
+    nr = n_pad // tm
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+
+    def row_body(i, _):
+        row0 = pl.multiple_of(i * tm, tm)
+        rcx = rowcx_ref[0, i]
+        xi = x_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
+        yi = x_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
+        zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
+        # canonicalize row x into the row frame (per-row, amortized)
+        xi = xi - Lx * jnp.floor((xi - rcx) * inv_Lx + 0.5)
+        rid = row0 + iota_r
+
+        def make_inner(general: bool):
+            def inner(k, acc):
+                fx, fy, fz = acc
+                c = cols_ref[0, k]
+                col0 = pl.multiple_of(c * tn, tn)
+                ccx = ccx_ref[0, k]
+                xj = x_ref[0, pl.ds(col0, tn)].reshape(1, tn)
+                yj = x_ref[1, pl.ds(col0, tn)].reshape(1, tn)
+                zj = x_ref[2, pl.ds(col0, tn)].reshape(1, tn)
+                xj = xj - Lx * jnp.floor((xj - ccx) * inv_Lx + 0.5)
+                # x via the common frame; y/z per-pair minimum image
+                dx = xi - xj
+                dy = yi - yj
+                dy = dy - Ly * jnp.floor(dy * inv_Ly + 0.5)
+                dz = zi - zj
+                dz = dz - Lz * jnp.floor(dz * inv_Lz + 0.5)
+                r2 = dx * dx + dy * dy + dz * dz
+                m = r2 < cutoff2
+                if general:
+                    cid = col0 + iota_c
+                    m = m & (cid > rid) & (cid < n)
+                r2s = jnp.maximum(r2, 1e-4 * sigma2)
+                if approx_recip:
+                    inv = pl.reciprocal(r2s, approx=True)
+                else:
+                    inv = 1.0 / r2s
+                i2 = sigma2 * inv
+                i6 = i2 * i2 * i2
+                coef = jnp.where(
+                    m, eps6x4 * (2.0 * i6 * i6 - i6) * inv, 0.0
+                )
+                tx = coef * dx
+                ty = coef * dy
+                tz = coef * dz
+                f_ref[0, pl.ds(col0, tn)] = (
+                    f_ref[0, pl.ds(col0, tn)] - jnp.sum(tx, axis=0)
+                )
+                f_ref[1, pl.ds(col0, tn)] = (
+                    f_ref[1, pl.ds(col0, tn)] - jnp.sum(ty, axis=0)
+                )
+                f_ref[2, pl.ds(col0, tn)] = (
+                    f_ref[2, pl.ds(col0, tn)] - jnp.sum(tz, axis=0)
+                )
+                fx = fx + jnp.sum(tx, axis=1, keepdims=True)
+                fy = fy + jnp.sum(ty, axis=1, keepdims=True)
+                fz = fz + jnp.sum(tz, axis=1, keepdims=True)
+                return fx, fy, fz
+
+            return inner
+
+        z = jnp.zeros((tm, 1), jnp.float32)
+        g0 = ptr2_ref[0, 2 * i]
+        g1 = ptr2_ref[0, 2 * i + 1]
+        g2 = ptr2_ref[0, 2 * i + 2]
+        acc = jax.lax.fori_loop(g0, g1, make_inner(True), (z, z, z))
+        fx, fy, fz = jax.lax.fori_loop(g1, g2, make_inner(False), acc)
+        f_ref[0, pl.ds(row0, tm)] = f_ref[0, pl.ds(row0, tm)] + fx[:, 0]
+        f_ref[1, pl.ds(row0, tm)] = f_ref[1, pl.ds(row0, tm)] + fy[:, 0]
+        f_ref[2, pl.ds(row0, tm)] = f_ref[2, pl.ds(row0, tm)] + fz[:, 0]
+        return _
+
+    jax.lax.fori_loop(0, nr, row_body, 0)
+
+
+def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
+                       approx_recip):
+    sigma2 = sigma * sigma
+    eps6x4 = 24.0 * epsilon
+    cutoff2 = cutoff * cutoff
+
+    def kernel(box_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+               pos_ref, force_ref):
+        force_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
+        Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+        _row_force_pass(
+            pos_ref, force_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+            n, n_pad, tm, tn,
+            Lx, 1.0 / Lx, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
+            sigma2, eps6x4, cutoff2, approx_recip,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "tm", "tn", "sigma", "epsilon", "cutoff",
+                     "approx_recip", "interpret"),
+)
+def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
+                     tn: int, sigma: float, epsilon: float, cutoff: float,
+                     approx_recip: bool, interpret: bool):
+    """Standalone culled force (oracle-parity surface; the fused MD kernel
+    below is the production path)."""
+    n_pad = pos3.shape[1]
+    capacity = pairs.cols.shape[1]
+    nr = n_pad // tm
+    kernel = _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
+                                approx_recip)
+    smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            smem((1, 3)),
+            smem((1, capacity)),      # cols
+            smem((1, capacity)),      # ccx
+            smem((1, 2 * nr + 1)),    # ptr2
+            smem((1, nr)),            # rowcx
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        interpret=interpret,
+    )(box_diag.reshape(1, 3), pairs.cols, pairs.ccx, pairs.ptr2,
+      pairs.rowcx, pos3)
+
+
+def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
+                    dt, a_coef, b_coef, approx_recip):
+    sigma2 = sigma * sigma
+    eps6x4 = 24.0 * epsilon
+    cutoff2 = cutoff * cutoff
+
+    def kernel(box_ref, seed_ref, off_ref, cols_ref, ccx_ref, ptr2_ref,
+               rowcx_ref, minv_ref, sigv_ref,
+               x_in, v_in, f_in, x_ref, v_ref, f_ref):
+        s = pl.program_id(0)
+        Lx = box_ref[0, 0]
+        Ly = box_ref[0, 1]
+        Lz = box_ref[0, 2]
+        inv_Lx, inv_Ly, inv_Lz = 1.0 / Lx, 1.0 / Ly, 1.0 / Lz
+
+        @pl.when(s == 0)
+        def _seed_state():
+            # output VMEM blocks are not pre-filled from aliased inputs on
+            # hardware; copy once (same scheme as ops/lj_md_fused.py)
+            x_ref[...] = x_in[...]
+            v_ref[...] = v_in[...]
+            f_ref[...] = f_in[...]
+
+        # ---- BAOAB phase: merged kick, O-noise, drifts, wrap ----
+        x = x_ref[...]
+        v = v_ref[...]
+        F = f_ref[...]
+        v = v + dt * F * minv_ref[...]
+        x = x + (dt * 0.5) * v
+        lane = (
+            jax.lax.broadcasted_iota(jnp.uint32, (3, n_pad), 0)
+            * jnp.uint32(n_pad)
+            + jax.lax.broadcasted_iota(jnp.uint32, (3, n_pad), 1)
+        )
+        step = jnp.uint32(s) + off_ref[0, 0].astype(jnp.uint32)
+        base = (
+            seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            + step * jnp.uint32(0x85EBCA6B)
+        )
+
+        def mix(z):
+            z = z ^ (z >> 16)
+            z = z * jnp.uint32(0x85EBCA6B)
+            z = z ^ (z >> 13)
+            z = z * jnp.uint32(0xC2B2AE35)
+            z = z ^ (z >> 16)
+            return z
+
+        c1 = (lane * jnp.uint32(2)) * jnp.uint32(0x9E3779B9) + base
+        c2 = (lane * jnp.uint32(2) + jnp.uint32(1)) * jnp.uint32(
+            0x9E3779B9
+        ) + base
+        u1 = (
+            (mix(c1) >> 8).astype(jnp.int32).astype(jnp.float32)
+            * (1.0 / 16777216.0)
+        )
+        u2 = (
+            (mix(c2) >> 8).astype(jnp.int32).astype(jnp.float32)
+            * (1.0 / 16777216.0)
+        )
+        u1 = jnp.maximum(u1, 1e-7)
+        noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        v = a_coef * v + b_coef * sigv_ref[...] * noise
+        x = x + (dt * 0.5) * v
+        Lcol = jnp.concatenate(
+            [jnp.full((1, n_pad), Lx), jnp.full((1, n_pad), Ly),
+             jnp.full((1, n_pad), Lz)], axis=0
+        )
+        x = x - jnp.floor(x / Lcol) * Lcol
+        x_ref[...] = x
+        v_ref[...] = v
+        f_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
+
+        # ---- culled tile-pair force pass ----
+        _row_force_pass(
+            x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+            n, n_pad, tm, tn,
+            Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
+            sigma2, eps6x4, cutoff2, approx_recip,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_steps", "tm", "tn", "sigma", "epsilon",
+                     "cutoff", "dt", "a_coef", "b_coef", "approx_recip",
+                     "interpret"),
+)
+def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
+                  minv, sigv, n: int, n_steps: int, tm: int, tn: int,
+                  sigma: float, epsilon: float, cutoff: float, dt: float,
+                  a_coef: float, b_coef: float, approx_recip: bool,
+                  interpret: bool):
+    n_pad = x3.shape[1]
+    capacity = pairs.rows.shape[1]
+    kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
+                             dt, a_coef, b_coef, approx_recip)
+    full = lambda s: (0, 0)
+    smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
+    vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            smem((1, 3)),            # box
+            smem((1, 1)),            # seed
+            smem((1, 1)),            # step offset
+            smem((1, capacity)),     # cols
+            smem((1, capacity)),     # ccx (image-shifted)
+            smem((1, 2 * (n_pad // tm) + 1)),  # ptr2
+            smem((1, n_pad // tm)),  # rowcx
+            vmem((1, n_pad)),        # 1/m
+            vmem((1, n_pad)),        # sigma_v
+            vmem((3, n_pad)),        # x
+            vmem((3, n_pad)),        # v (half-kick convention)
+            vmem((3, n_pad)),        # F
+        ],
+        out_specs=[vmem((3, n_pad)), vmem((3, n_pad)), vmem((3, n_pad))],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        ],
+        input_output_aliases={9: 0, 10: 1, 11: 2},
+        interpret=interpret,
+    )(box_diag.reshape(1, 3), seed, step_offset, pairs.cols, pairs.ccx,
+      pairs.ptr2, pairs.rowcx, minv, sigv, x3, v3, f3)
+
+
+class CulledLJMD:
+    """S-step fused BAOAB segments on the culled tile-pair LJ kernel.
+
+    Same half-kick (w = v - dt/2 F/m) convention and noise-stream scheme as
+    ops/lj_md_fused.FusedLJMD; the caller owns sorting and list rebuilds
+    (chiron_tpu.runtime.make_culled_lj_runner wires the full loop).
+    """
+
+    def __init__(self, n, sigma, epsilon, cutoff, masses_lane, dt, gamma, kT,
+                 tm: int = 128, tn: int = 128, nslab: int = None,
+                 slack: float = 0.2, n_pad: int = None, interpret=None):
+        self.n = n
+        self.sigma, self.epsilon, self.cutoff = (
+            float(sigma), float(epsilon), float(cutoff)
+        )
+        self.dt = float(dt)
+        self.a = float(jnp.exp(-gamma * dt))
+        self.b = float(jnp.sqrt(1.0 - jnp.exp(-2.0 * gamma * dt)))
+        self.kT = float(kT)
+        self.slack = float(slack)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.interpret = interpret
+        if not interpret:
+            # Mosaic requires dynamic lane-dim slices at 128-multiples
+            tn = max(tn, 128)
+            tm = max(tm, 128)
+        self.tm, self.tn = tm, tn
+        self.n_pad = _round_up(
+            n_pad if n_pad is not None else n, math.lcm(tm, tn)
+        )
+        self.nslab = nslab  # resolved by the runner from the box
+        m = jnp.asarray(masses_lane, dtype=jnp.float32).reshape(1, -1)
+        if m.shape[1] != self.n_pad:
+            mm = jnp.ones((1, self.n_pad), jnp.float32)
+            m = mm.at[0, :m.shape[1]].set(m[0])
+        self.minv = 1.0 / m
+        self.sigv = jnp.sqrt(self.kT / m)
+
+    def build_pairs(self, pos3, box_diag, capacity: int) -> TilePairList:
+        return build_tile_pairs(
+            pos3, self.n, self.tm, self.tn, box_diag, self.cutoff,
+            self.slack, capacity,
+        )
+
+    def force(self, pos3, box_diag, pairs: TilePairList,
+              approx_recip: bool = True):
+        return culled_force_raw(
+            pos3, box_diag, pairs, self.n, self.tm, self.tn, self.sigma,
+            self.epsilon, self.cutoff, approx_recip, self.interpret,
+        )
+
+    def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
+                    seed, step_offset, n_steps: int,
+                    approx_recip: bool = True):
+        """Advance ``n_steps`` with a fixed pair list; standard (x, v, F)
+        convention at both ends (half-kick conversion inside)."""
+        w_in = v3 - (0.5 * self.dt) * f3 * self.minv
+        x3, w_out, f_out = culled_md_raw(
+            x3, w_in, f3, box_diag,
+            jnp.asarray(seed, jnp.int32).reshape(1, 1),
+            jnp.asarray(step_offset, jnp.int32).reshape(1, 1),
+            pairs, self.minv, self.sigv,
+            self.n, n_steps, self.tm, self.tn, self.sigma, self.epsilon,
+            self.cutoff, self.dt, self.a, self.b, approx_recip,
+            self.interpret,
+        )
+        v_std = w_out + (0.5 * self.dt) * f_out * self.minv
+        return x3, v_std, f_out

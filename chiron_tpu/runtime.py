@@ -359,6 +359,479 @@ def band_run_chunk(step_fn, carry, n_steps: int):
     return carry
 
 
+
+def _top2_drift(dxs, valid_lane):
+    """Sum of the two largest per-particle displacements (squared inputs).
+
+    The tile-skin condition is pairwise: a pair outside reach at build time
+    can only enter the cutoff if the SUM of the two particles' drifts
+    exceeds the slack, so the correct (and far less brittle) invariant is
+    drift_1 + drift_2 <= slack -- a single hot particle cannot violate it
+    alone (one melt-transient outlier otherwise flags a healthy run).
+    """
+    d = jnp.sqrt(jnp.where(valid_lane, jnp.sum(dxs * dxs, axis=0), 0.0))
+    i1 = jnp.argmax(d)
+    m1 = d[i1]
+    m2 = jnp.max(jnp.where(jnp.arange(d.shape[0]) == i1, -jnp.inf, d))
+    return m1 + m2
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "v", "F", "step", "box_diag", "overflowed"],
+    meta_fields=[],
+)
+@dataclass
+class CullCarry:
+    """Carry of the culled tile-pair runner ((x-slab, y)-sorted layout)."""
+
+    x: jnp.ndarray          # (3, n_pad)
+    v: jnp.ndarray          # (3, n_pad)
+    F: jnp.ndarray          # (3, n_pad)
+    step: jnp.ndarray       # (1, 1) int32 cumulative step count (noise ctr)
+    box_diag: jnp.ndarray   # (1, 3)
+    overflowed: jnp.ndarray  # () bool: list capacity/shift/drift violation
+
+
+def make_culled_lj_runner(
+    potential,
+    n_particles: int,
+    temperature=300.0 * units.kelvin,
+    timestep=2.0 * units.femtoseconds,
+    collision_rate=1.0 / units.picoseconds,
+    topology=None,
+    tm: int = 128,
+    tn: int = 256,
+    slack: float = 0.3,
+    segment_steps: int = 50,
+    sort_mode: str = "x",
+    seed_default: int = 0,
+    exact_forces: bool = False,
+):
+    """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
+
+    Every ``segment_steps`` steps the state is re-sorted by the (x-slab, y)
+    key and the tile-pair Verlet list rebuilt; the segment itself is ONE
+    fused Pallas call (BAOAB + culled force, state resident in VMEM).  The
+    whole ``run(state, n)`` is a single ``lax.scan`` over segments -- one
+    XLA dispatch regardless of step count (ops/lj_cull.py for the kernel
+    design and exactness argument).
+
+    The per-segment drift check turns the tile-skin assumption into a
+    runtime invariant: if any particle moves more than slack/2 within a
+    segment, ``state.overflowed`` latches and results must be discarded
+    (raise in ``check()``).
+
+    NOTE: like the band runner, sorting permutes particle identity --
+    requires identical masses; ``positions(state)`` returns internal order.
+    """
+    from .ops.lj_cull import (
+        CulledLJMD, build_tile_pairs, slab_y_key, sort_by_key,
+    )
+    from .ops.lj_dense import LJDensePallas
+
+    if topology is None:
+        topology = potential.topology
+    masses_host = topology.masses()
+    if not np.allclose(masses_host, masses_host[0]):
+        raise ValueError(
+            "the culled runner permutes particle order and therefore "
+            "requires identical masses"
+        )
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+
+    # common padding: kernel tiles AND the dense energy op's 128 lanes
+    import math as _math
+
+    _gran = _math.lcm(128, tm, tn)
+    common_pad = _gran * ((n_particles + _gran - 1) // _gran)
+    md = CulledLJMD(
+        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
+        masses_lane=np.asarray(masses_host, dtype=np.float32),
+        dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
+        n_pad=common_pad,
+    )
+    n = n_particles
+    n_pad = md.n_pad
+    valid_lane = jnp.arange(n_pad) < n
+    # exact energies + pad/unpad via the dense kernel at matching padding
+    dense = LJDensePallas(
+        n, potential.sigma, potential.epsilon, potential.cutoff,
+        tm=128, tn=128, n_pad=n_pad,
+    )
+
+    class CulledRunner:
+        def __init__(self):
+            self.md = md
+            self.dense = dense
+            self.seed = seed_default
+            self.nslab = None     # resolved from the box in init()
+            self.capacity = None  # resolved from the initial list in init()
+            self._bodies = {}     # per-n_steps body cache (stable jit keys)
+
+        def init(self, positions, box_vectors, seed: int = 0):
+            self.seed = seed
+            x3 = dense.pad_positions(jnp.asarray(positions, jnp.float32))
+            box_diag = jnp.diagonal(
+                jnp.asarray(box_vectors, jnp.float32)
+            ).reshape(1, 3)
+            Lx = float(box_diag[0, 0])
+            headroom = 0.5 * Lx - md.cutoff - md.slack
+            if headroom <= 0:
+                raise ValueError(
+                    "culled runner inapplicable: box under ~2 cutoffs "
+                    "wide -- use make_fast_lj_runner instead"
+                )
+            if sort_mode == "x":
+                # pure x sort: tiles are thin x-slabs (~tm/n of the box),
+                # so the x-frame bound holds with large margin for any
+                # homogeneous system; the init probe + per-rebuild check
+                # below latch violations regardless
+                self.nslab = 0
+            else:
+                # slab width ~0.72 cutoff measured optimal for bbox
+                # culling; the x-frame bound requires the worst-case tile
+                # x-extent (2 slab widths: a straddling tile) to fit under
+                # L/2 - cutoff - slack, so take the thinner of the two
+                nslab_perf = max(1, int(round(Lx / (0.72 * md.cutoff))))
+                nslab_geom = int(np.ceil(2.0 * Lx / headroom))
+                self.nslab = max(nslab_perf, nslab_geom)
+                # a tile straddles at most 2 slabs only while slab
+                # occupancy stays above the tile size (2x headroom); the
+                # per-rebuild shift_bad check latches actual violations
+                if self.nslab > max(1, n // (2 * max(md.tm, md.tn))):
+                    raise ValueError(
+                        "culled runner inapplicable: satisfying the "
+                        f"x-shift bound needs {self.nslab} slabs but slab "
+                        "occupancy would drop below 2 tiles -- use "
+                        "sort_mode='x' or make_fast_lj_runner"
+                    )
+            key = slab_y_key(x3, n, self.nslab, Lx)
+            x3s, _ = sort_by_key(key, x3, ())
+            # capacity: exact upper bound first, then tight + headroom
+            nr, nc = n_pad // md.tm, n_pad // md.tn
+            probe = build_tile_pairs(
+                x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
+                capacity=nr * nc,
+            )
+            if bool(probe.overflowed):
+                raise ValueError(
+                    "culled runner inapplicable to this box/cutoff (the "
+                    "x/y shift bound is violated at init) -- use "
+                    "make_fast_lj_runner instead"
+                )
+            # 2x headroom: ordered (e.g. lattice) initial configurations
+            # disorder into liquids with fatter tile bboxes
+            count = int(probe.count[0, 0])
+            self.capacity = min(nr * nc, int(count * 2.0) + 128)
+            pairs = build_tile_pairs(
+                x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
+                capacity=self.capacity,
+            )
+            key0 = jax.random.PRNGKey(seed)
+            _, vkey = jax.random.split(key0)
+            v3 = md.sigv * jax.random.normal(vkey, (3, n_pad))
+            F3 = md.force(x3s, box_diag[0], pairs,
+                          approx_recip=not exact_forces)
+            return CullCarry(
+                x=x3s, v=v3, F=F3,
+                step=jnp.zeros((1, 1), jnp.int32),
+                box_diag=box_diag,
+                overflowed=jnp.asarray(False),
+            )
+
+        def _segment_body(self, n_steps: int):
+            cache_key = (n_steps, self.nslab, self.capacity, self.seed)
+            if cache_key in self._bodies:
+                return self._bodies[cache_key]
+            nslab, capacity, seed = self.nslab, self.capacity, self.seed
+            approx = not exact_forces
+
+            def body(carry: CullCarry, _):
+                box_diag = carry.box_diag
+                Lx = box_diag[0, 0]
+                skey = slab_y_key(carry.x, n, nslab, Lx)
+                x3s, payload = sort_by_key(
+                    skey, carry.x,
+                    (carry.v[0], carry.v[1], carry.v[2],
+                     carry.F[0], carry.F[1], carry.F[2]),
+                )
+                v3 = jnp.stack(payload[0:3])
+                F3 = jnp.stack(payload[3:6])
+                pairs = build_tile_pairs(
+                    x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
+                    capacity=capacity,
+                )
+                overflowed = carry.overflowed | pairs.overflowed
+                x1, v1, F1 = md.run_segment(
+                    x3s, v3, F3, box_diag[0], pairs,
+                    seed=jnp.int32(seed), step_offset=carry.step[0, 0],
+                    n_steps=n_steps, approx_recip=approx,
+                )
+                # tile-skin invariant: no PAIR of particles jointly
+                # closed more than the slack while the list was stale
+                L = box_diag.reshape(3, 1)
+                dx = x1 - x3s
+                dx = dx - L * jnp.round(dx / L)
+                overflowed = overflowed | (
+                    _top2_drift(dx, valid_lane) > md.slack
+                )
+                return CullCarry(
+                    x=x1, v=v1, F=F1,
+                    step=carry.step + n_steps,
+                    box_diag=box_diag,
+                    overflowed=overflowed,
+                ), None
+
+            self._bodies[cache_key] = body
+            return body
+
+        def run(self, state: CullCarry, n_steps: int) -> CullCarry:
+            """Advance ``n_steps``: one dispatch (scan over segments)."""
+            S = segment_steps
+            n_seg, rem = divmod(n_steps, S)
+            if n_seg:
+                state = _cull_scan_segments(
+                    self._segment_body(S), state, n_seg
+                )
+            if rem:
+                state = _cull_scan_segments(
+                    self._segment_body(rem), state, 1
+                )
+            return state
+
+        def check(self, state: CullCarry):
+            if bool(state.overflowed):
+                raise RuntimeError(
+                    "culled runner invariant violated (pair-list capacity, "
+                    "shift bound, or per-segment drift) -- reduce "
+                    "segment_steps or increase slack and re-run"
+                )
+
+        def energy(self, state: CullCarry):
+            return dense.force_energy_t(state.x, state.box_diag)[1]
+
+        def positions(self, state: CullCarry):
+            return dense.unpad(state.x)
+
+        def velocities(self, state: CullCarry):
+            return dense.unpad(state.v)
+
+    return CulledRunner()
+
+
+@partial(jax.jit, static_argnames=("body", "n_seg"))
+def _cull_scan_segments(body, carry, n_seg: int):
+    carry, _ = jax.lax.scan(body, carry, length=n_seg)
+    return carry
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "v", "F", "step", "box_diag", "overflowed"],
+    meta_fields=[],
+)
+@dataclass
+class StripCarry:
+    """Carry of the halo-strip runner (x-sorted extended layout)."""
+
+    x: jnp.ndarray          # (3, n_pad + H) extended positions
+    v: jnp.ndarray          # (3, n_pad)
+    F: jnp.ndarray          # (3, n_pad)
+    step: jnp.ndarray       # (1, 1) int32 cumulative step count (noise ctr)
+    box_diag: jnp.ndarray   # (1, 3)
+    overflowed: jnp.ndarray  # () bool: band overflow or drift violation
+
+
+def make_strip_lj_runner(
+    potential,
+    n_particles: int,
+    temperature=300.0 * units.kelvin,
+    timestep=2.0 * units.femtoseconds,
+    collision_rate=1.0 / units.picoseconds,
+    topology=None,
+    tm: int = 128,
+    slack: float = 0.3,
+    segment_steps: int = 50,
+    halo_headroom: float = 1.3,
+    seed_default: int = 0,
+    exact_forces: bool = False,
+):
+    """Halo-strip fused LJ runner: the N~4000 flagship engine.
+
+    x-sorted state; each row tile evaluates one contiguous (tm, tm+H)
+    forward strip with a rank-space +Lx halo (ops/lj_strip.py).  Every
+    ``segment_steps`` steps the state is re-sorted and the band width
+    re-checked; the whole ``run(state, n)`` is one ``lax.scan`` dispatch.
+
+    The per-segment drift check (max displacement < slack/2) and the
+    band-width check (W_needed <= H) latch into ``state.overflowed``;
+    ``check(state)`` raises if violated.
+
+    NOTE: sorting permutes particle identity -- requires identical masses;
+    ``positions(state)`` returns internal order.
+    """
+    from .ops.lj_band import band_width_needed
+    from .ops.lj_dense import LJDensePallas
+    from .ops.lj_strip import _PAD_X, StripLJMD, sort_by_key_strip
+
+    if topology is None:
+        topology = potential.topology
+    masses_host = topology.masses()
+    if not np.allclose(masses_host, masses_host[0]):
+        raise ValueError(
+            "the strip runner permutes particle order and therefore "
+            "requires identical masses"
+        )
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+
+    md = StripLJMD(
+        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
+        masses_lane=np.asarray(masses_host, dtype=np.float32),
+        dt=dt, gamma=gamma, kT=kT, tm=tm, slack=slack,
+    )
+    n = n_particles
+    n_pad = md.n_pad
+    valid_lane = jnp.arange(n_pad) < n
+    reach = md.cutoff + md.slack
+    dense = LJDensePallas(
+        n, potential.sigma, potential.epsilon, potential.cutoff,
+        tm=128, tn=128, n_pad=n_pad,
+    )
+
+    class StripRunner:
+        def __init__(self):
+            self.md = md
+            self.dense = dense
+            self.seed = seed_default
+            self._bodies = {}
+
+        def init(self, positions, box_vectors, seed: int = 0):
+            self.seed = seed
+            x3 = dense.pad_positions(jnp.asarray(positions, jnp.float32))
+            x3 = jnp.where(valid_lane, x3, jnp.float32(_PAD_X))
+            box_diag = jnp.diagonal(
+                jnp.asarray(box_vectors, jnp.float32)
+            ).reshape(1, 3)
+            Lx = float(box_diag[0, 0])
+            x3s, _ = sort_by_key_strip(x3, ())
+            W = int(band_width_needed(
+                jnp.where(valid_lane, x3s[0], jnp.float32(3.0e38)),
+                n, reach, Lx,
+            ))
+            md.set_halo(
+                int(W * halo_headroom) + md.tm + (n_pad - n)
+            )
+            xe = md.extend(x3s, box_diag[0])
+            key0 = jax.random.PRNGKey(seed)
+            _, vkey = jax.random.split(key0)
+            v3 = md.sigv * jax.random.normal(vkey, (3, n_pad))
+            F3 = md.force(xe, box_diag[0],
+                          approx_recip=not exact_forces)
+            return StripCarry(
+                x=xe, v=v3, F=F3,
+                step=jnp.zeros((1, 1), jnp.int32),
+                box_diag=box_diag,
+                overflowed=jnp.asarray(False),
+            )
+
+        def _segment_body(self, n_steps: int):
+            cache_key = (n_steps, md.H, self.seed)
+            if cache_key in self._bodies:
+                return self._bodies[cache_key]
+            seed = self.seed
+            approx = not exact_forces
+
+            def body(carry: StripCarry, _):
+                box_diag = carry.box_diag
+                Lx = box_diag[0, 0]
+                center = carry.x[:, :n_pad]
+                # pads drift with noise; re-pin the sentinel before sorting
+                center = jnp.where(
+                    valid_lane, center, jnp.float32(_PAD_X)
+                )
+                x3s, payload = sort_by_key_strip(
+                    center,
+                    (carry.v[0], carry.v[1], carry.v[2],
+                     carry.F[0], carry.F[1], carry.F[2]),
+                )
+                v3 = jnp.stack(payload[0:3])
+                F3 = jnp.stack(payload[3:6])
+                W_needed = band_width_needed(
+                    jnp.where(valid_lane, x3s[0], jnp.float32(3.0e38)),
+                    n, reach, Lx,
+                )
+                # pad slots sit between real rank n-1 and the halo, so the
+                # array-window a wrap-crossing row needs is W + (n_pad - n)
+                overflowed = carry.overflowed | (
+                    W_needed + (n_pad - n) > md.H
+                )
+                xe = md.extend(x3s, box_diag[0])
+                xe1, v1, F1 = md.run_segment(
+                    xe, v3, F3, box_diag[0],
+                    seed=jnp.int32(seed), step_offset=carry.step[0, 0],
+                    n_steps=n_steps, approx_recip=approx,
+                )
+                # tile-skin invariant: no PAIR jointly closed more than
+                # the slack while sorted order and band width were stale
+                L = box_diag.reshape(3, 1)
+                dxs = xe1[:, :n_pad] - x3s
+                dxs = dxs - L * jnp.round(dxs / L)
+                overflowed = overflowed | (
+                    _top2_drift(dxs, valid_lane) > md.slack
+                )
+                return StripCarry(
+                    x=xe1, v=v1, F=F1,
+                    step=carry.step + n_steps,
+                    box_diag=box_diag,
+                    overflowed=overflowed,
+                ), None
+
+            self._bodies[cache_key] = body
+            return body
+
+        def run(self, state: StripCarry, n_steps: int) -> StripCarry:
+            S = segment_steps
+            n_seg, rem = divmod(n_steps, S)
+            if n_seg:
+                state = _cull_scan_segments(
+                    self._segment_body(S), state, n_seg
+                )
+            if rem:
+                state = _cull_scan_segments(
+                    self._segment_body(rem), state, 1
+                )
+            return state
+
+        def check(self, state: StripCarry):
+            if bool(state.overflowed):
+                raise RuntimeError(
+                    "strip runner invariant violated (band width or "
+                    "per-segment drift) -- reduce segment_steps or "
+                    "increase slack and re-run"
+                )
+
+        def energy(self, state: StripCarry):
+            center = jnp.where(
+                valid_lane, state.x[:, :n_pad], 0.0
+            )
+            return dense.force_energy_t(center, state.box_diag)[1]
+
+        def positions(self, state: StripCarry):
+            return state.x[:, :n].T  # internal (sorted) order
+
+        def velocities(self, state: StripCarry):
+            return state.v[:, :n].T
+
+    return StripRunner()
+
+
 def make_langevin_runner(
     potential,
     pairs=None,

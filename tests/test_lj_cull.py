@@ -1,0 +1,196 @@
+"""Culled tile-pair kernel tests: parity against the jnp dense oracle.
+
+The jnp dense path is the semantic oracle for every Pallas kernel (CLAUDE.md
+design invariants); these run in interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiron_tpu.ops.lj_cull import (
+    CulledLJMD,
+    build_tile_pairs,
+    slab_y_key,
+    sort_by_key,
+)
+
+N = 1000  # not a tile multiple: exercises padding/masking
+SIGMA, EPS, CUTOFF = 0.34, 0.99579, 1.02
+L = 5.0  # ~5 cutoffs wide; (x-slab, y) tiles satisfy the shift bound
+NSLAB = 10
+TM, TN = 8, 16  # small interpret-mode tiles (hardware sizes bench on TPU)
+
+
+def dense_oracle(pos, box_diag, cutoff=CUTOFF):
+    ids = jnp.arange(pos.shape[0])
+    d = pos[:, None, :] - pos[None, :, :]
+    d = d - box_diag * jnp.round(d / box_diag)
+    r2 = jnp.sum(d * d, -1)
+    m = (r2 < cutoff * cutoff) & (ids[:, None] != ids[None, :])
+    r2s = jnp.where(m, r2, 1.0)
+    inv2 = (SIGMA * SIGMA) / r2s
+    inv6 = inv2 * inv2 * inv2
+    coef = jnp.where(m, 24 * EPS * (2 * inv6 * inv6 - inv6) / r2s, 0.0)
+    return jnp.sum(coef[..., None] * d, axis=1)
+
+
+@pytest.fixture(scope="module")
+def sorted_system():
+    # jittered lattice: no deep overlaps, so the kernel's r2 clamp never
+    # engages and the jnp oracle matches bit-for-bit-ish
+    rng = np.random.default_rng(7)
+    n_side = int(np.ceil(N ** (1 / 3)))
+    g = (np.arange(n_side) + 0.5) * L / n_side
+    xyz = np.stack(
+        np.meshgrid(g, g, g, indexing="ij"), -1
+    ).reshape(-1, 3)[:N]
+    xyz = (xyz + rng.normal(0, 0.02, xyz.shape)).astype(np.float32) % L
+    md = CulledLJMD(
+        N, SIGMA, EPS, CUTOFF,
+        masses_lane=np.full(N, 39.9), dt=0.002, gamma=1.0,
+        kT=0.008314 * 120, tm=TM, tn=TN, slack=0.2,
+    )
+    pos3 = jnp.zeros((3, md.n_pad), jnp.float32)
+    pos3 = pos3.at[:, :N].set(jnp.asarray(xyz.T))
+    box_diag = jnp.asarray([L, L, L], jnp.float32)
+    key = slab_y_key(pos3, N, nslab=NSLAB, L=L)
+    pos3s, _ = sort_by_key(key, pos3, ())
+    return md, pos3s, box_diag
+
+
+def test_culled_force_matches_dense_oracle(sorted_system):
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
+    assert not bool(pairs.overflowed)
+    F = md.force(pos3s, box_diag, pairs, approx_recip=False)
+    Fo = dense_oracle(pos3s[:, :N].T, box_diag).T
+    scale = float(jnp.max(jnp.abs(Fo)))
+    err = jnp.abs(F[:, :N] - Fo)
+    # pairs within f32 rounding of the cutoff may flip inclusion between
+    # arithmetic orders; each flip moves a force by at most the pair force
+    # at the cutoff, |coef(rc)|*rc ~ 0.033 for these parameters.  All
+    # non-boundary pairs must match to float precision.
+    assert float(jnp.max(err)) < 0.05
+    assert float(jnp.percentile(err, 99.0)) / scale < 1e-5
+    # Newton's third law survives regardless of boundary flips
+    assert float(jnp.max(jnp.abs(jnp.sum(F, axis=1)))) < 1e-3
+    # padding slots accumulate nothing
+    assert float(jnp.max(jnp.abs(F[:, N:]))) == 0.0
+
+
+def test_culled_force_actually_culls(sorted_system):
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
+    nr = md.n_pad // md.tm
+    nc = md.n_pad // md.tn
+    assert int(pairs.count[0, 0]) < nr * nc  # some rectangles were culled
+
+
+def test_capacity_overflow_flagged(sorted_system):
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=3)
+    assert bool(pairs.overflowed)
+
+
+def test_shift_bound_violation_flagged():
+    # box barely over 2 cutoffs: L/2 - cutoff - slack < 0, so the constant
+    # x/y-shift convention cannot be valid -> must be flagged
+    small_L = 2.3 * CUTOFF
+    rng = np.random.default_rng(3)
+    xyz = rng.uniform(0, small_L, size=(64, 3)).astype(np.float32)
+    pos3 = jnp.asarray(xyz.T)
+    pos3 = jnp.pad(pos3, ((0, 0), (0, 128 - 64)))
+    box_diag = jnp.asarray([small_L] * 3, jnp.float32)
+    pairs = build_tile_pairs(pos3, 64, 8, 128, box_diag, CUTOFF, 0.2, 512)
+    assert bool(pairs.overflowed)
+
+
+def _jnp_fused_step(md, x, w, F, box_diag, seed, step):
+    """jnp oracle of ONE fused kernel step (same splitmix32 noise stream)."""
+    n_pad = x.shape[1]
+    v = w + md.dt * F * md.minv
+    x = x + 0.5 * md.dt * v
+    lane = (
+        jnp.arange(3, dtype=jnp.uint32)[:, None] * jnp.uint32(n_pad)
+        + jnp.arange(n_pad, dtype=jnp.uint32)[None, :]
+    )
+    base = (
+        jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+        + jnp.uint32(step) * jnp.uint32(0x85EBCA6B)
+    )
+
+    def mix(z):
+        z = z ^ (z >> 16)
+        z = z * jnp.uint32(0x85EBCA6B)
+        z = z ^ (z >> 13)
+        z = z * jnp.uint32(0xC2B2AE35)
+        z = z ^ (z >> 16)
+        return z
+
+    c1 = (lane * jnp.uint32(2)) * jnp.uint32(0x9E3779B9) + base
+    c2 = (lane * jnp.uint32(2) + jnp.uint32(1)) * jnp.uint32(0x9E3779B9) + base
+    u1 = (mix(c1) >> 8).astype(jnp.int32).astype(jnp.float32) / 16777216.0
+    u2 = (mix(c2) >> 8).astype(jnp.int32).astype(jnp.float32) / 16777216.0
+    u1 = jnp.maximum(u1, 1e-7)
+    noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    v = md.a * v + md.b * md.sigv * noise
+    x = x + 0.5 * md.dt * v
+    Lcol = box_diag.reshape(3, 1)
+    x = x - jnp.floor(x / Lcol) * Lcol
+    F = dense_oracle(x[:, :N].T, box_diag).T
+    Fp = jnp.zeros_like(x).at[:, :N].set(F)
+    return x, v, Fp
+
+
+def test_fused_segment_matches_jnp_step_oracle(sorted_system):
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
+    F0 = md.force(pos3s, box_diag, pairs, approx_recip=False)
+    v0 = jnp.zeros_like(pos3s)
+    x1, v1, F1 = md.run_segment(
+        pos3s, v0, F0, box_diag, pairs, seed=11, step_offset=0, n_steps=2,
+        approx_recip=False,
+    )
+    # oracle: two steps in w-convention with the dense force
+    w = v0 - 0.5 * md.dt * F0 * md.minv
+    x, Fc = pos3s, F0
+    for s in range(2):
+        x, w, Fc = _jnp_fused_step(md, x, w, Fc, box_diag, seed=11, step=s)
+    v = w + 0.5 * md.dt * Fc * md.minv
+    assert float(jnp.max(jnp.abs(x1 - x))) < 1e-5
+    assert float(jnp.max(jnp.abs(v1 - v))) < 1e-4
+    # 0.05 absorbs cutoff-boundary inclusion flips (see force parity test)
+    assert float(jnp.max(jnp.abs(F1 - Fc))) < 0.05
+
+
+@pytest.mark.slow
+def test_culled_runner_equilibrates_kinetic_temperature():
+    """End-to-end culled runner: kT_kinetic -> thermostat kT, no overflow."""
+    from chiron_tpu import units
+    from chiron_tpu.runtime import make_culled_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=N, reduced_density=0.64)
+    runner = make_culled_lj_runner(
+        potential=fluid.potential,
+        n_particles=N,
+        topology=fluid.topology,
+        temperature=120.0 * units.kelvin,
+        tm=8, tn=16, segment_steps=20,
+    )
+    state = runner.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=3,
+    )
+    state = runner.run(state, 400)
+    runner.check(state)
+    v = runner.velocities(state)  # (N, 3)
+    m = 39.9
+    kT_kin = float(jnp.mean(m * jnp.sum(v * v, axis=1)) / 3.0)
+    kT = 0.00831446 * 120.0
+    assert abs(kT_kin - kT) / kT < 0.15
+    E = float(runner.energy(state))
+    assert np.isfinite(E)
