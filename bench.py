@@ -17,32 +17,49 @@ import jax
 
 
 def main():
+    import numpy as np
+
     from chiron_tpu import units
-    from chiron_tpu.runtime import make_fast_lj_runner
+    from chiron_tpu.runtime import make_culled_lj_runner, make_fast_lj_runner
     from chiron_tpu.testsystems import LennardJonesFluid
 
     n_particles = 4000
-    n_steps_warmup = 200
+    n_steps_equil = 1000
     n_steps_bench = 2000
 
     fluid = LennardJonesFluid(nparticles=n_particles, reduced_density=0.8)
+    box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)
 
-    runner = make_fast_lj_runner(
+    # equilibrate the lattice melt with the dense engine (exact at every
+    # step; the production engines assume thermal dynamics for their
+    # tile-skin drift bound)
+    fast = make_fast_lj_runner(
         potential=fluid.potential,
         n_particles=n_particles,
         topology=fluid.topology,
         temperature=120.0 * units.kelvin,
         timestep=2.0 * units.femtoseconds,
     )
-    state = runner.init(
+    fs = fast.init(
         fluid.positions.value_in_unit_system(units.md_unit_system),
-        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        box,
         seed=1234,
     )
+    fs = fast.run(fs, n_steps_equil)
+    eq_pos = np.asarray(fast.positions(fs))
 
-    # warmup: equilibrate a little, then compile+run the exact benched
-    # program once so the timed call is pure execution
-    state = runner.run(state, n_steps_warmup)
+    # production engine: culled tile-pair fused kernel (ops/lj_cull.py)
+    runner = make_culled_lj_runner(
+        potential=fluid.potential,
+        n_particles=n_particles,
+        topology=fluid.topology,
+        temperature=120.0 * units.kelvin,
+        timestep=2.0 * units.femtoseconds,
+    )
+    state = runner.init(eq_pos, box, seed=1234)
+
+    # compile+run the exact benched program once so the timed call is
+    # pure execution
     state = runner.run(state, n_steps_bench)
     jax.block_until_ready(state.x)
 
@@ -50,6 +67,7 @@ def main():
     state = runner.run(state, n_steps_bench)
     jax.block_until_ready(state.x)
     dt = time.perf_counter() - t0
+    runner.check(state)  # tile-skin/capacity invariants held
 
     steps_per_sec = n_steps_bench / dt
     target = 1e6 / 60.0  # BASELINE.json: 1e6 steps/min on one v5e chip
