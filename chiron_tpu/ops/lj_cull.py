@@ -197,33 +197,62 @@ def build_tile_pairs(
         | (ri >= last_real_row)       # tail row tile holds padding slots
     )
 
-    flat_keep = keep.reshape(-1)
-    total = jnp.sum(flat_keep.astype(jnp.int32))
-    idx = jnp.nonzero(flat_keep, size=capacity, fill_value=nr * nc)[0]
-    valid = idx < nr * nc
-    safe = jnp.where(valid, idx, 0)
-    rows = jnp.where(valid, safe // nc, nr).astype(jnp.int32)
-    cols = jnp.where(valid, safe % nc, 0).astype(jnp.int32)
-    gen = jnp.where(valid, general.reshape(-1)[safe], False)
-    # order entries by (row, general-first, col) and compute the 2nr+1
-    # segment boundary table the kernel walks
-    okey = (rows * 2 + jnp.where(gen, 0, 1)) * nc + cols
-    order = jnp.argsort(okey)
-    okey = okey[order]
-    rows = rows[order]
-    cols = cols[order]
+    # ---- ordered placement without sorts (sort/argsort/searchsorted cost
+    # hundreds of us on TPU; cumsums + one one-hot matmul are ~free) ----
+    kg = keep & general
+    kf = keep & ~general
+    gen_cnt = jnp.sum(kg, axis=1).astype(jnp.int32)            # (nr,)
+    fast_cnt = jnp.sum(kf, axis=1).astype(jnp.int32)
+    # pad each row's fast segment to EVEN length so the kernel can process
+    # two entries per loop iteration (manual unroll); the null entry's col
+    # frame is parked half a box away in x, so every slot masks out
+    fast_pad = fast_cnt + (fast_cnt & 1)
+    seg = jnp.stack([gen_cnt, fast_pad], axis=1).reshape(-1)   # (2nr,)
+    ptr2 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(seg).astype(jnp.int32)]
+    )
+    total = ptr2[-1]
+    # within-row, within-segment ranks (entries ordered by col index)
+    gen_rank = jnp.cumsum(kg, axis=1).astype(jnp.int32) - 1
+    fast_rank = jnp.cumsum(kf, axis=1).astype(jnp.int32) - 1
+    base_gen = ptr2[0:2 * nr:2][:, None]
+    base_fast = ptr2[1:2 * nr:2][:, None]
+    slot = jnp.where(kg, base_gen + gen_rank, base_fast + fast_rank)
+    slot = jnp.where(keep, slot, capacity)  # dropped entries -> no slot
+    # one-hot scatter via matmul: T[e, k] = entry e lands in output slot k
+    T = (
+        slot.reshape(-1)[:, None] == jnp.arange(capacity)[None, :]
+    ).astype(jnp.float32)
 
+    def place(vals_flat):
+        return jnp.dot(vals_flat.astype(jnp.float32), T,
+                       preferred_element_type=jnp.float32)
+
+    ci_flat = jnp.broadcast_to(ci, (nr, nc)).reshape(-1)
+    ri_flat = jnp.broadcast_to(ri, (nr, nc)).reshape(-1)
     ccx_flat = jnp.broadcast_to(ccx_sh, (nr, nc)).reshape(-1)
-    ccx = jnp.where(valid, ccx_flat[safe], 0.0).astype(jnp.float32)[order]
-    ptr2 = jnp.searchsorted(
-        okey, jnp.arange(2 * nr + 1, dtype=jnp.int32) * nc
-    ).astype(jnp.int32)
+    cols = jnp.round(place(ci_flat)).astype(jnp.int32)
+    rows = jnp.round(place(ri_flat)).astype(jnp.int32)
+    ccx = place(ccx_flat)
+    # null fast-padding entries: one per odd-count row at slot
+    # base_fast + fast_cnt; col 0 with the frame center parked at 1e18,
+    # so the folded col x lands ~1e18 away from every row particle: the
+    # cutoff mask zeroes every slot (and all arithmetic stays finite)
+    null_slot = jnp.where(
+        (fast_cnt & 1) == 1, base_fast[:, 0] + fast_cnt, capacity
+    )
+    Tn = (
+        null_slot[:, None] == jnp.arange(capacity)[None, :]
+    ).astype(jnp.float32)
+    rowcx = rcen[0].astype(jnp.float32)
+    ccx = ccx + jnp.dot(jnp.full((nr,), 1.0e18, jnp.float32), Tn,
+                        preferred_element_type=jnp.float32)
     return TilePairList(
         rows=rows.reshape(1, -1),
         cols=cols.reshape(1, -1),
         ccx=ccx.reshape(1, -1),
-        ptr2=ptr2.reshape(1, -1),
-        rowcx=rcen[0].astype(jnp.float32).reshape(1, -1),
+        ptr2=jnp.minimum(ptr2, capacity).reshape(1, -1),
+        rowcx=rowcx.reshape(1, -1),
         count=jnp.minimum(total, capacity).reshape(1, 1),
         overflowed=(total > capacity) | shift_bad,
     )
@@ -286,9 +315,8 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                     inv = 1.0 / r2s
                 i2 = sigma2 * inv
                 i6 = i2 * i2 * i2
-                coef = jnp.where(
-                    m, eps6x4 * (2.0 * i6 * i6 - i6) * inv, 0.0
-                )
+                # 24*eps applied once per pass on the accumulated force
+                coef = jnp.where(m, (2.0 * i6 * i6 - i6) * inv, 0.0)
                 tx = coef * dx
                 ty = coef * dy
                 tz = coef * dz
@@ -313,13 +341,23 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
         g1 = ptr2_ref[0, 2 * i + 1]
         g2 = ptr2_ref[0, 2 * i + 2]
         acc = jax.lax.fori_loop(g0, g1, make_inner(True), (z, z, z))
-        fx, fy, fz = jax.lax.fori_loop(g1, g2, make_inner(False), acc)
+        # fast segment is padded to even length (null entries mask out):
+        # two entries per iteration halves loop overhead and doubles the
+        # independent instruction streams in flight
+        inner_fast = make_inner(False)
+
+        def inner2(k2, acc):
+            acc = inner_fast(g1 + 2 * k2, acc)
+            return inner_fast(g1 + 2 * k2 + 1, acc)
+
+        fx, fy, fz = jax.lax.fori_loop(0, (g2 - g1) // 2, inner2, acc)
         f_ref[0, pl.ds(row0, tm)] = f_ref[0, pl.ds(row0, tm)] + fx[:, 0]
         f_ref[1, pl.ds(row0, tm)] = f_ref[1, pl.ds(row0, tm)] + fy[:, 0]
         f_ref[2, pl.ds(row0, tm)] = f_ref[2, pl.ds(row0, tm)] + fz[:, 0]
         return _
 
     jax.lax.fori_loop(0, nr, row_body, 0)
+    f_ref[...] = eps6x4 * f_ref[...]
 
 
 def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,

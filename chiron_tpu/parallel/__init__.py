@@ -11,13 +11,18 @@ capability the north star mandates: replica-parallel sampling over a
   replicas stacked on a leading axis, propagated by ONE compiled program
   (temperature as data, not as per-state closures) and sharded across
   devices with ``shard_map``.
+* :mod:`chiron_tpu.parallel.multistate` -- ``MeshMultiStateSampler``:
+  the general replica-exchange sampler with homogeneous potential
+  families stacked as data and replicas sharded over the mesh.
 """
 
 from .mesh import make_replica_mesh, replica_sharding
+from .multistate import MeshMultiStateSampler
 from .tempering import ParallelTemperingSampler
 
 __all__ = [
     "make_replica_mesh",
     "replica_sharding",
+    "MeshMultiStateSampler",
     "ParallelTemperingSampler",
 ]

@@ -370,3 +370,40 @@ class HarmonicOscillatorPotential(NeuralNetworkPotential):
             return 0.5 * k * jnp.sum(d ** 2) + U0
 
         return energy_fn
+
+
+def stack_homogeneous_params(potentials):
+    """Stack a homogeneous potential family's parameters on a leading axis.
+
+    Returns ``(param_energy_fn, stacked_params)`` where
+    ``param_energy_fn(params_i, positions) -> energy`` takes one state's
+    parameter pytree as TRACED DATA (so one compiled program serves every
+    state -- the vmap/shard_map multistate path,
+    SURVEY.md section 2 multistate disposition), or ``None`` when the
+    potentials are not a supported homogeneous family.
+
+    Supported families: :class:`HarmonicOscillatorPotential` (k, x0, U0
+    stacked) and :class:`IdealGasPotential`.  LJ ladders that differ only
+    in temperature are served by
+    :class:`chiron_tpu.parallel.ParallelTemperingSampler`.
+    """
+    p0 = potentials[0]
+    if not all(type(p) is type(p0) for p in potentials):
+        return None
+    if isinstance(p0, HarmonicOscillatorPotential):
+        ks = jnp.stack([jnp.asarray(p.k) for p in potentials])
+        x0s = jnp.stack([jnp.asarray(p.x0) for p in potentials])
+        U0s = jnp.stack([jnp.asarray(p.U0) for p in potentials])
+
+        def ho_energy(params, positions, list_state=None):
+            k, x0, U0 = params
+            d = positions - x0
+            return 0.5 * k * jnp.sum(d ** 2) + U0
+
+        return ho_energy, (ks, x0s, U0s)
+    if isinstance(p0, IdealGasPotential):
+        def ig_energy(params, positions, list_state=None):
+            return jnp.asarray(0.0)
+
+        return ig_energy, (jnp.zeros(len(potentials)),)
+    return None

@@ -387,15 +387,46 @@ def calculate_reduced_potential_at_states(
 ) -> jnp.ndarray:
     """Reduced potential of one configuration at every thermodynamic state.
 
-    Reference states.py:335-366 loops on the host; here the positions-dependent
-    energy is evaluated once per *distinct potential*, and the (beta, p) scaling
-    is vectorized -- for the common multistate case (same potential, different
-    T) this is a single energy evaluation instead of S of them.
+    Reference states.py:335-366 loops on the host.  Here, when the states
+    form a homogeneous potential family, the energies come from ONE
+    vmap-over-states call with the per-state parameters as data (SURVEY.md
+    section 2 multistate disposition); otherwise the positions-dependent
+    energy is evaluated once per *distinct potential* (memoized by
+    ``cache_token``, surviving the deep copies move updates make) and the
+    (beta, p) scaling vectorized.
     """
+    from .potential import stack_homogeneous_params
+
+    stacked = stack_homogeneous_params(
+        [s.potential for s in thermodynamic_states]
+    )
+    if stacked is not None and nbr_list is None:
+        param_energy_fn, params = stacked
+        E = jax.vmap(
+            lambda p: param_energy_fn(p, sampler_state.positions)
+        )(params)
+        betas = jnp.asarray([s.beta_md for s in thermodynamic_states])
+        u = betas * E
+        pressures = [s.pressure_md for s in thermodynamic_states]
+        if any(p is not None for p in pressures):
+            volume = (
+                sampler_state.box_vectors[0][0]
+                * sampler_state.box_vectors[1][1]
+                * sampler_state.box_vectors[2][2]
+            )
+            pv = jnp.asarray(
+                [0.0 if p is None else p for p in pressures]
+            )
+            u = u + betas * pv * volume
+        return u
+
     energies = {}
     out = []
     for state in thermodynamic_states:
-        pot_id = id(state.potential)
+        # memoize by cache_token, not id(): move updates deep-copy the
+        # thermodynamic states, so object identity never repeats while the
+        # potential's parameters do (ADVICE r1)
+        pot_id = state.potential.cache_token()
         if pot_id not in energies:
             energies[pot_id] = state.potential.compute_energy(
                 sampler_state.positions, nbr_list
