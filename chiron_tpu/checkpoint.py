@@ -93,7 +93,17 @@ def load_checkpoint(
 def save_sampler_checkpoint(path, sampler_state, iteration=0, extra=None):
     """Convenience wrapper: persist a SamplerState(+counters) for restart."""
     data = sampler_state.as_data()
-    meta = {"iteration": int(iteration)}
+    meta = {
+        "iteration": int(iteration),
+        # optional-field presence, so restore can match leaves to FIELDS
+        # rather than just counting them (a velocities-but-no-box
+        # checkpoint must not silently load into a box-but-no-velocities
+        # template -- ADVICE r1)
+        "fields": {
+            "velocities": data.velocities is not None,
+            "box_vectors": data.box_vectors is not None,
+        },
+    }
     if extra:
         meta.update(extra)
     save_checkpoint(path, data, metadata=meta)
@@ -102,24 +112,48 @@ def save_sampler_checkpoint(path, sampler_state, iteration=0, extra=None):
 def load_sampler_checkpoint(path, sampler_state):
     """Restore a SamplerState in place from a checkpoint; returns metadata.
 
-    Tolerant to optional-field structure: a freshly constructed state without
-    velocities (or box vectors) restores from a checkpoint that has them --
-    the template is densified with placeholder leaves before unflattening.
+    The template's optional fields (velocities, box vectors) are densified
+    to match the checkpoint's recorded field-presence header, so leaves are
+    matched BY FIELD and a structural mismatch raises instead of silently
+    permuting state (e.g. velocities restored into the box slot).
+    Checkpoints written before the header existed fall back to leaf-count
+    densification.
     """
     import jax.numpy as jnp
     from dataclasses import replace as _replace
 
     data_like = sampler_state.as_data()
-    n_saved = _checkpoint_leaf_count(path)
-    # densify optional fields until the leaf counts match
-    if jax.tree_util.tree_structure(data_like).num_leaves != n_saved:
-        if data_like.velocities is None:
+    meta_head = _checkpoint_metadata(path)
+    fields = meta_head.get("fields")
+    if fields is not None:
+        if fields["velocities"] and data_like.velocities is None:
             data_like = _replace(
                 data_like, velocities=jnp.zeros_like(data_like.positions)
             )
-    if jax.tree_util.tree_structure(data_like).num_leaves != n_saved:
-        if data_like.box_vectors is None:
+        if fields["box_vectors"] and data_like.box_vectors is None:
             data_like = _replace(data_like, box_vectors=jnp.zeros((3, 3)))
+        if not fields["velocities"] and data_like.velocities is not None:
+            raise ValueError(
+                "checkpoint has no velocities but the template state does; "
+                "construct the template without velocities to restore"
+            )
+        if not fields["box_vectors"] and data_like.box_vectors is not None:
+            raise ValueError(
+                "checkpoint has no box vectors but the template state does; "
+                "construct the template without box vectors to restore"
+            )
+    else:  # legacy checkpoint: leaf-count densification
+        n_saved = _checkpoint_leaf_count(path)
+        if jax.tree_util.tree_structure(data_like).num_leaves != n_saved:
+            if data_like.velocities is None:
+                data_like = _replace(
+                    data_like, velocities=jnp.zeros_like(data_like.positions)
+                )
+        if jax.tree_util.tree_structure(data_like).num_leaves != n_saved:
+            if data_like.box_vectors is None:
+                data_like = _replace(
+                    data_like, box_vectors=jnp.zeros((3, 3))
+                )
     data, meta = load_checkpoint(path, like=data_like)
     sampler_state.update_from_data(data)
     return meta
@@ -129,3 +163,9 @@ def _checkpoint_leaf_count(path) -> int:
     with np.load(path, allow_pickle=False) as data:
         header = json.loads(bytes(data["__header__"]).decode("utf-8"))
     return header["n_leaves"]
+
+
+def _checkpoint_metadata(path) -> dict:
+    with np.load(path, allow_pickle=False) as data:
+        header = json.loads(bytes(data["__header__"]).decode("utf-8"))
+    return header.get("metadata", {})

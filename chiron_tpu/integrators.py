@@ -31,6 +31,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import units
 from .neighbors import (
@@ -180,6 +181,9 @@ class LangevinIntegrator:
         nbr_list=None,
         progress_bar: bool = False,
     ):
+        # ``progress_bar`` prints coarse progress at chunk boundaries (the
+        # reference uses tqdm, integrators.py:174-178; a dependency-free
+        # print keeps the compiled chunks unchanged)
         """Run Langevin dynamics (reference integrators.py:75-218).
 
         Returns ``(updated SamplerState, nbr_list)``.  The propagation runs in
@@ -204,13 +208,16 @@ class LangevinIntegrator:
         key = sampler_state.new_PRNG_key
 
         # Velocity (re)initialization rules: reference integrators.py:140-160.
+        # The init draw uses its own subkey so the chain's first O-step noise
+        # is independent of the velocity sample.
         if (
             self.refresh_velocities
             or sampler_state.velocities is None
             or sampler_state.velocities.shape[0] != sampler_state.positions.shape[0]
         ):
+            key, vkey = jax.random.split(key)
             sampler_state.velocities = initialize_velocities(
-                temperature, potential.topology, key
+                temperature, potential.topology, vkey
             )
 
         x0 = sampler_state.positions
@@ -251,6 +258,9 @@ class LangevinIntegrator:
             dt,
             gamma,
             kT,
+            # masses are baked into the compiled step: two systems with the
+            # same N and potential but different masses must not share it
+            np.asarray(masses).tobytes(),
         )
         if getattr(self, "_step_cache_key", None) != cache_key:
             if nbr_list is None:
@@ -294,6 +304,11 @@ class LangevinIntegrator:
             carry = run_chunk(step_fn, carry, n)
             step_index = target
             elapsed_step = step_index + elapsed_base
+            if progress_bar:
+                print(
+                    f"\rLangevin {step_index + 1}/{number_of_steps} steps",
+                    end="", flush=True,
+                )
             if elapsed_step % r == 0:
                 if self.reporter is not None:
                     self._report(carry, potential, nbr_list, step_index,
@@ -301,6 +316,8 @@ class LangevinIntegrator:
                 if self.save_traj_in_memory:
                     self.traj.append(carry.x)
 
+        if progress_bar:
+            print()
         if bool(carry.overflowed):
             raise RuntimeError(
                 "Neighbor list capacity exceeded during on-device propagation; "

@@ -9,12 +9,15 @@ unit system (nm).
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Tuple
 
 import numpy as np
 
 from . import units
 from .topology import Topology
+
+log = logging.getLogger("chiron_tpu")
 
 
 def read_pdb(path: str) -> Tuple[units.Quantity, Topology, Optional[units.Quantity]]:
@@ -37,7 +40,20 @@ def read_pdb(path: str) -> Tuple[units.Quantity, Topology, Optional[units.Quanti
                 name = line[12:16].strip()
                 elem = line[76:78].strip() if len(line) >= 78 else ""
                 if not elem:
-                    elem = "".join(c for c in name if c.isalpha())[:2].capitalize()
+                    # prefer the single-letter element before the two-letter
+                    # guess: 'CA' is almost always an alpha carbon, not
+                    # calcium, and 'HG1' a hydrogen, not mercury (ADVICE r1)
+                    from .topology import _ELEMENT_MASSES
+
+                    letters = "".join(c for c in name if c.isalpha())
+                    one = letters[:1].capitalize()
+                    two = letters[:2].capitalize()
+                    if one in _ELEMENT_MASSES:
+                        elem = one
+                    elif two in _ELEMENT_MASSES:
+                        elem = two
+                    else:
+                        elem = two
                 names.append(name)
                 elements.append(elem)
             elif rec == "CRYST1":
@@ -51,6 +67,10 @@ def read_pdb(path: str) -> Tuple[units.Quantity, Topology, Optional[units.Quanti
         try:
             topology.add_atom(name, elem)
         except ValueError:
+            log.warning(
+                "read_pdb: unknown element %r for atom %r; assigning a "
+                "12.0-dalton fallback mass", elem, name,
+            )
             topology.add_atom(name, elem, mass=12.0)
     pos_nm = np.asarray(positions, dtype=np.float64) / 10.0
     box_q = units.Quantity(box, units.nanometer) if box is not None else None
@@ -83,3 +103,47 @@ def write_pdb(path: str, positions, topology: Optional[Topology] = None,
     lines.append("END")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def read_sdf(path: str) -> Tuple[units.Quantity, Topology, list]:
+    """Minimal V2000 SDF reader (reference ships ethanol.sdf and imports it
+    through openff, reference chiron/utils.py:60-82; this standalone parser
+    covers the atom + bond blocks the framework needs).
+
+    Returns (positions Quantity (N,3) in nm, Topology, bonds as (i, j)
+    0-indexed pairs).
+    """
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    if len(lines) < 4:
+        raise ValueError(f"{path}: not an SDF file (fewer than 4 lines)")
+    counts = lines[3]
+    try:
+        n_atoms = int(counts[0:3])
+        n_bonds = int(counts[3:6])
+    except ValueError as e:
+        raise ValueError(f"{path}: malformed V2000 counts line") from e
+    topology = Topology()
+    positions = []
+    counts_per_elem: dict = {}
+    for i in range(n_atoms):
+        ln = lines[4 + i]
+        x, y, z = float(ln[0:10]), float(ln[10:20]), float(ln[20:30])
+        elem = ln[30:34].strip()
+        counts_per_elem[elem] = counts_per_elem.get(elem, 0) + 1
+        name = f"{elem}{counts_per_elem[elem]}"
+        try:
+            topology.add_atom(name, elem)
+        except ValueError:
+            log.warning(
+                "read_sdf: unknown element %r for atom %r; assigning a "
+                "12.0-dalton fallback mass", elem, name,
+            )
+            topology.add_atom(name, elem, mass=12.0)
+        positions.append((x, y, z))
+    bonds = []
+    for i in range(n_bonds):
+        ln = lines[4 + n_atoms + i]
+        bonds.append((int(ln[0:3]) - 1, int(ln[3:6]) - 1))
+    pos_nm = np.asarray(positions, dtype=np.float64) / 10.0  # A -> nm
+    return units.Quantity(pos_nm, units.nanometer), topology, bonds

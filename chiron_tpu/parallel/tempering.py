@@ -187,6 +187,7 @@ class ParallelTemperingSampler:
         collision_rate=1.0 / units.picoseconds,
         pairs=None,
         mesh: Optional[Mesh] = None,
+        reporter=None,
     ):
         self.potential = potential
         self.temps_md = np.array(
@@ -214,6 +215,8 @@ class ParallelTemperingSampler:
         self.n_proposed_swaps = 0
         self._iteration = 0
         self._estimator = MBAREstimator()
+        self._reporter = reporter
+        self._swap_seed = 0
 
     # -- setup ---------------------------------------------------------------
     def initialize(self, positions, box_vectors=None, masses=None, seed: int = 1234,
@@ -442,15 +445,146 @@ class ParallelTemperingSampler:
 
     # -- driver ---------------------------------------------------------------
     def run(self, n_iterations: int, steps_per_iteration: int = 100, seed: int = 0):
-        """PT loop: propagate (sharded) -> record energies -> swap."""
-        rng = np.random.default_rng(seed)
+        """PT loop: propagate (sharded) -> record energies -> swap.
+
+        The swap RNG stream is derived per (seed, iteration), so a session
+        restored from :meth:`save_session` continues bit-compatibly with
+        the uninterrupted run.
+        """
+        self._swap_seed = seed
         for _ in range(n_iterations):
             self._iteration += 1
             U = self.propagate(steps_per_iteration)
             self._u_history.append(U)
             self._temp_history.append(np.asarray(self.kTs).copy())
+            self._report_iteration(U)
+            rng = np.random.default_rng([seed, self._iteration])
             self.mix_replicas(U, rng)
+        if self._reporter is not None:
+            self._reporter.flush_buffer()
         return self
+
+    # -- reporting --------------------------------------------------------
+    def _report_iteration(self, U: np.ndarray):
+        """MultistateReporter integration: u_kn, state_index, step, and
+        per-replica positions/boxes (reference reporter schema
+        chiron/reporters.py:210-269)."""
+        if self._reporter is None:
+            return
+        betas_ladder = 1.0 / np.sort(self.temps_md * units.kB_MD)
+        data = {}
+        props = self._reporter.properties_to_report
+        if "u_kn" in props:
+            data["u_kn"] = betas_ladder[:, None] * np.asarray(U)[None, :]
+        if "state_index" in props:
+            # temperature rank (coldest = 0) currently held by each replica
+            order = np.argsort(np.argsort(np.asarray(self.kTs)))
+            data["state_index"] = order
+        if "step" in props:
+            data["step"] = np.asarray(self._iteration)
+        if "positions" in props:
+            data["positions"] = np.asarray(self.replica_positions())
+        if "box_vectors" in props and self.box_vectors is not None:
+            b = np.asarray(self.box_vectors)
+            if b.shape[1:] == (1, 3):  # dense path stores box diagonals
+                boxes = np.zeros((b.shape[0], 3, 3), b.dtype)
+                for a in range(3):
+                    boxes[:, a, a] = b[:, 0, a]
+                data["box_vectors"] = boxes
+            else:
+                data["box_vectors"] = b
+        self._reporter.report(data)
+
+    def replica_positions(self) -> np.ndarray:
+        """(R, N, 3) positions regardless of the internal layout."""
+        x = np.asarray(self.positions)
+        if hasattr(self, "_dense_op"):
+            n = self._dense_op.n
+            return np.transpose(x[:, :, :n], (0, 2, 1))
+        return x
+
+    # -- session checkpoint -------------------------------------------------
+    def save_session(self, path: str):
+        """Persist the full PT session: replica state, kT ladder, swap
+        statistics, PRNG keys, and recorded histories -- everything needed
+        for :meth:`load_session` to continue bit-compatibly (SURVEY.md
+        section 5 checkpoint/resume)."""
+        from ..checkpoint import save_checkpoint
+
+        tree = {
+            "positions": self.positions,
+            "velocities": self.velocities,
+            "keys": self.keys,
+            "kTs": self.kTs,
+            "box_vectors": (
+                self.box_vectors if self.box_vectors is not None
+                else jnp.zeros((self.n_replicas, 0, 0))
+            ),
+            "list_state": (
+                self.list_state if self.list_state is not None
+                else jnp.zeros((self.n_replicas, 0))
+            ),
+            "u_history": (
+                jnp.asarray(np.stack(self._u_history))
+                if self._u_history else jnp.zeros((0, self.n_replicas))
+            ),
+            "temp_history": (
+                jnp.asarray(np.stack(self._temp_history))
+                if self._temp_history else jnp.zeros((0, self.n_replicas))
+            ),
+        }
+        save_checkpoint(path, tree, metadata={
+            "iteration": int(self._iteration),
+            "n_accepted_swaps": int(self.n_accepted_swaps),
+            "n_proposed_swaps": int(self.n_proposed_swaps),
+            "swap_seed": int(self._swap_seed),
+            "n_replicas": int(self.n_replicas),
+        })
+
+    def load_session(self, path: str):
+        """Restore a session saved by :meth:`save_session` into this
+        (identically constructed + initialized) sampler."""
+        from ..checkpoint import load_checkpoint
+
+        template = {
+            "positions": self.positions,
+            "velocities": self.velocities,
+            "keys": self.keys,
+            "kTs": self.kTs,
+            "box_vectors": (
+                self.box_vectors if self.box_vectors is not None
+                else jnp.zeros((self.n_replicas, 0, 0))
+            ),
+            "list_state": (
+                self.list_state if self.list_state is not None
+                else jnp.zeros((self.n_replicas, 0))
+            ),
+            "u_history": jnp.zeros((0, self.n_replicas)),
+            "temp_history": jnp.zeros((0, self.n_replicas)),
+        }
+        # leading dims of the histories are run-dependent, but unflattening
+        # by template only needs matching STRUCTURE, not shapes
+        tree, meta = load_checkpoint(path, like=template)
+        if meta.get("n_replicas") != self.n_replicas:
+            raise ValueError(
+                f"checkpoint has {meta.get('n_replicas')} replicas, "
+                f"sampler has {self.n_replicas}"
+            )
+        self.positions = tree["positions"]
+        self.velocities = tree["velocities"]
+        self.keys = tree["keys"]
+        self.kTs = tree["kTs"]
+        if self.box_vectors is not None:
+            self.box_vectors = tree["box_vectors"]
+        if self.list_state is not None:
+            self.list_state = tree["list_state"]
+        self._u_history = [np.asarray(r) for r in tree["u_history"]]
+        self._temp_history = [np.asarray(r) for r in tree["temp_history"]]
+        self._iteration = meta["iteration"]
+        self.n_accepted_swaps = meta["n_accepted_swaps"]
+        self.n_proposed_swaps = meta["n_proposed_swaps"]
+        self._swap_seed = meta["swap_seed"]
+        return meta
 
     @property
     def swap_acceptance_fraction(self) -> float:

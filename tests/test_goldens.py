@@ -1,17 +1,17 @@
 """Golden-seed regression tests.
 
 The reference pins exact trajectory values at fixed seeds (reference
-chiron/tests/test_mcmc.py:81-84).  Cross-RNG seed parity with the reference
-is impossible (different RNG call sequences -- SURVEY.md section 6), so these
-goldens are derived from THIS framework at seed 1234 on the CPU backend and
-asserted with a tolerance that absorbs backend-dependent f32 rounding
-(TPU/CPU accumulation orders differ).
-
-Any change to the RNG threading, BAOAB coefficients, or step ordering will
-break these values -- which is the point.
+chiron/tests/test_mcmc.py:81-84, 450-452).  Cross-RNG seed parity with the
+reference is impossible (different RNG call sequences -- SURVEY.md section
+6), so these goldens are derived from THIS framework at seed 1234 on the
+CPU backend.  On CPU they are asserted EXACTLY (any RNG-threading, BAOAB
+coefficient, or step-ordering regression fails loudly); other backends get
+a tolerance that absorbs f32 accumulation-order differences.
 """
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from chiron_tpu import units as u
@@ -20,17 +20,22 @@ from chiron_tpu.states import SamplerState, ThermodynamicState
 from chiron_tpu.testsystems import HarmonicOscillator
 from chiron_tpu.utils import PRNG
 
+_ON_CPU = jax.default_backend() == "cpu"
+_REL = 1e-7 if _ON_CPU else 2e-3
+
 # 5 x 100-step Langevin segments, HO (K=100 kJ/mol/nm^2), T=300 K, dt=2 fs,
-# gamma=1/ps, seed 1234 (generated on the CPU backend).
+# gamma=1/ps, seed 1234 (generated on the CPU backend; velocity-init key
+# split from the chain key).
 GOLDEN_ENERGIES = [
-    0.8124598264694214,
-    2.813143014907837,
-    4.289824962615967,
-    4.299922466278076,
-    4.225174427032471,
+    0.30852842330932617,
+    0.9435789585113525,
+    1.6490867137908936,
+    1.469433069229126,
+    0.701592743396759,
 ]
-GOLDEN_FINAL_POSITION = [0.10679640620946884, -0.1638099104166031,
-                         -0.21509145200252533]
+GOLDEN_FINAL_POSITION = [
+    -0.04923246055841446, 0.040149807929992676, -0.09998006373643875,
+]
 
 
 def test_langevin_golden_trajectory():
@@ -45,10 +50,72 @@ def test_langevin_golden_trajectory():
     for _ in range(5):
         ss, _ = integ.run(ss, ts, number_of_steps=100)
         energies.append(float(ho.potential.compute_energy(ss.positions)))
-    assert energies == pytest.approx(GOLDEN_ENERGIES, rel=2e-3, abs=1e-4)
+    assert energies == pytest.approx(GOLDEN_ENERGIES, rel=_REL, abs=1e-6)
     assert [float(x) for x in ss.positions.flatten()] == pytest.approx(
-        GOLDEN_FINAL_POSITION, rel=2e-3, abs=1e-4
+        GOLDEN_FINAL_POSITION, rel=_REL, abs=1e-6
     )
+
+
+# 100-move displacement chain, HO, sigma=0.1 nm, T=300 K, seed 1234,
+# autotune off (generated on the CPU backend).
+GOLDEN_MC_N_ACCEPTED = 66
+GOLDEN_MC_FINAL_POSITION = [
+    -0.10811439156532288, -0.028737440705299377, -0.08118955790996552,
+]
+
+
+def test_mc_displacement_golden_chain():
+    """The compiled Metropolis chain's trajectory is pinned (reference
+    golden practice chiron/tests/test_mcmc.py:450-452)."""
+    from chiron_tpu.mcmc import MonteCarloDisplacementMove
+
+    PRNG.set_seed(1234)
+    ho = HarmonicOscillator()
+    ss = SamplerState(
+        positions=ho.positions, current_PRNG_key=PRNG.get_random_key()
+    )
+    ts = ThermodynamicState(potential=ho.potential, temperature=300.0 * u.kelvin)
+    move = MonteCarloDisplacementMove(
+        displacement_sigma=0.1 * u.nanometer, number_of_moves=100,
+        autotune=False,
+    )
+    ss, ts, _ = move.update(ss, ts, None)
+    assert move.statistics["n_accepted"] == GOLDEN_MC_N_ACCEPTED
+    assert [float(x) for x in ss.positions.flatten()] == pytest.approx(
+        GOLDEN_MC_FINAL_POSITION, rel=_REL, abs=1e-6
+    )
+
+
+# splitmix32 counter stream used by the fused kernels (ops/lj_md_fused.py,
+# ops/lj_cull.py, ops/lj_strip.py) at (seed=1234, step=7): pure uint32
+# math, exact on EVERY backend.
+GOLDEN_SPLITMIX_BITS = {
+    0: (3747635279, 1888714997),
+    1: (1155135812, 3761187797),
+    12287: (423818911, 3646861012),
+}
+
+
+def test_fused_kernel_noise_stream_golden():
+    def mix(z):
+        z = z ^ (z >> jnp.uint32(16))
+        z = z * jnp.uint32(0x85EBCA6B)
+        z = z ^ (z >> jnp.uint32(13))
+        z = z * jnp.uint32(0xC2B2AE35)
+        z = z ^ (z >> jnp.uint32(16))
+        return z
+
+    seed = jnp.uint32(1234)
+    step = jnp.uint32(7)
+    base = seed * jnp.uint32(0x9E3779B9) + step * jnp.uint32(0x85EBCA6B)
+    for lane, (b1, b2) in GOLDEN_SPLITMIX_BITS.items():
+        lane = jnp.uint32(lane)
+        c1 = (lane * jnp.uint32(2)) * jnp.uint32(0x9E3779B9) + base
+        c2 = (lane * jnp.uint32(2) + jnp.uint32(1)) * jnp.uint32(
+            0x9E3779B9
+        ) + base
+        assert int(mix(c1)) == b1
+        assert int(mix(c2)) == b2
 
 
 def test_prng_stream_golden():
@@ -56,8 +123,6 @@ def test_prng_stream_golden():
     PRNG.set_seed(1234)
     k1 = PRNG.get_random_key()
     k2 = PRNG.get_random_key()
-    import jax
-
     v1 = float(jax.random.uniform(k1))
     v2 = float(jax.random.uniform(k2))
     assert v1 == pytest.approx(0.93298197, rel=1e-5)

@@ -41,3 +41,29 @@ def test_pdb_roundtrip(tmp_path):
 def test_data_file_missing():
     with pytest.raises(ValueError):
         get_data_file_path("nope.pdb")
+
+
+def test_read_reference_fixtures():
+    """Fixture parity: the reference's ethanol/single-particle structures
+    load through the standalone readers (reference chiron/data/)."""
+    import numpy as np
+
+    from chiron_tpu.io import read_pdb, read_sdf
+    from chiron_tpu.utils import get_data_file_path
+
+    pos, topo, box = read_pdb(get_data_file_path("ethanol.pdb"))
+    assert topo.n_atoms == 9
+    masses = np.asarray(topo.masses())
+    assert np.isclose(masses.sum(), 46.07, atol=0.1)  # C2H6O
+
+    pos_s, topo_s, bonds = read_sdf(get_data_file_path("ethanol.sdf"))
+    assert topo_s.n_atoms == 9
+    assert len(bonds) == 8
+    # identical coordinates in both formats (to PDB's 1e-3 A rounding)
+    import numpy as np
+    d = np.abs(np.asarray(pos._value) - np.asarray(pos_s._value))
+    assert d.max() < 1e-4  # nm
+
+    pos1, topo1, _ = read_pdb(get_data_file_path("single_particle.pdb"))
+    assert topo1.n_atoms == 1
+    assert np.allclose(np.asarray(pos1._value), 0.0)

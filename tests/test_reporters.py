@@ -152,3 +152,44 @@ def test_sampler_checkpoint_roundtrip(tmp_path):
     assert meta["note"] == "hi"
     assert np.allclose(np.asarray(ss2.positions), 1.0)
     assert np.allclose(np.asarray(ss2.box_vectors), np.eye(3) * 2)
+
+
+def test_parallel_tempering_reporter_integration(tmp_path):
+    """PT writes u_kn / state_index / per-replica trajectories through the
+    MultistateReporter (reference schema chiron/reporters.py:210-269)."""
+    import numpy as np
+
+    from chiron_tpu import units as u
+    from chiron_tpu.parallel import ParallelTemperingSampler, make_replica_mesh
+    from chiron_tpu.reporters import BaseReporter, MultistateReporter
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    BaseReporter.set_directory(str(tmp_path))
+    reporter = MultistateReporter()
+    reporter.reset_reporter_file()
+
+    ho = HarmonicOscillator(
+        k=100.0 * u.kilojoule_per_mole / u.nanometer ** 2
+    )
+    temps = [300.0 * (1.2 ** i) for i in range(4)]
+    pt = ParallelTemperingSampler(
+        potential=ho.potential,
+        temperatures=[t * u.kelvin for t in temps],
+        timestep=4.0 * u.femtoseconds,
+        mesh=make_replica_mesh(1),
+        reporter=reporter,
+    )
+    pt.initialize(ho.positions, seed=7)
+    pt.run(5, steps_per_iteration=20, seed=3)
+
+    u_kn = reporter.get_property("u_kn")
+    assert u_kn.shape == (5, 4, 4)
+    assert np.isfinite(u_kn).all()
+    si = reporter.get_property("state_index")
+    assert si.shape == (5, 4)
+    assert set(si[-1]) == {0, 1, 2, 3}
+    step = reporter.get_property("step")
+    assert list(step) == [1, 2, 3, 4, 5]
+    # per-replica trajectory fan-out wrote frames
+    pos = reporter.get_property("positions")
+    assert pos.shape[0] == 5 and pos.shape[1] == 4

@@ -6,6 +6,7 @@ this is the restartability capability the TPU build adds: a checkpointed
 """
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from chiron_tpu import units as u
@@ -132,3 +133,85 @@ def test_multistate_states_roundtrip(tmp_path):
             np.asarray(restored[f"replica_{i}"].positions),
             np.full((1, 3), float(i)),
         )
+
+
+def test_pt_session_restart_is_bitwise_identical(tmp_path):
+    """A ParallelTemperingSampler session killed mid-run and restored from
+    save_session continues bit-compatibly with the uninterrupted run
+    (iteration counter, kT ladder, swap statistics, PRNG keys, reporter
+    histories -- VERDICT r1 item 5)."""
+    from chiron_tpu import units as u
+    from chiron_tpu.parallel import ParallelTemperingSampler, make_replica_mesh
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    ho = HarmonicOscillator(
+        k=100.0 * u.kilojoule_per_mole / u.nanometer ** 2
+    )
+    temps = [300.0 * (1.2 ** i) for i in range(4)]
+
+    def make():
+        pt = ParallelTemperingSampler(
+            potential=ho.potential,
+            temperatures=[t * u.kelvin for t in temps],
+            timestep=4.0 * u.femtoseconds,
+            mesh=make_replica_mesh(1),
+        )
+        pt.initialize(ho.positions, seed=7)
+        return pt
+
+    # uninterrupted: 6 iterations
+    ref = make()
+    ref.run(6, steps_per_iteration=25, seed=11)
+
+    # interrupted: 3 iterations, save, restore into a FRESH sampler, resume
+    a = make()
+    a.run(3, steps_per_iteration=25, seed=11)
+    path = str(tmp_path / "pt_session.npz")
+    a.save_session(path)
+
+    b = make()
+    b.load_session(path)
+    assert b._iteration == 3
+    b.run(3, steps_per_iteration=25, seed=11)
+
+    assert b._iteration == ref._iteration
+    assert b.n_proposed_swaps == ref.n_proposed_swaps
+    assert b.n_accepted_swaps == ref.n_accepted_swaps
+    np.testing.assert_array_equal(np.asarray(b.kTs), np.asarray(ref.kTs))
+    np.testing.assert_array_equal(
+        np.asarray(b.positions), np.asarray(ref.positions)
+    )
+    assert len(b._u_history) == len(ref._u_history) == 6
+    np.testing.assert_array_equal(
+        np.stack(b._u_history), np.stack(ref._u_history)
+    )
+
+
+def test_sampler_checkpoint_field_mismatch_raises(tmp_path):
+    """A checkpoint without velocities must not silently load into a
+    template that has them (field-presence header, ADVICE r1)."""
+    from chiron_tpu.checkpoint import (
+        load_sampler_checkpoint, save_sampler_checkpoint,
+    )
+
+    PRNG.set_seed(5)
+    ho = HarmonicOscillator()
+    src = SamplerState(
+        positions=ho.positions, current_PRNG_key=PRNG.get_random_key()
+    )
+    path = str(tmp_path / "novel.npz")
+    save_sampler_checkpoint(path, src, iteration=1)
+
+    tmpl = SamplerState(
+        positions=ho.positions,
+        velocities=u.Quantity(
+            jnp.zeros_like(jnp.asarray(ho.positions._value))
+            if hasattr(ho.positions, "_value")
+            else jnp.zeros((1, 3)),
+            u.nanometer / u.picosecond,
+        ),
+        current_PRNG_key=PRNG.get_random_key(),
+    )
+    with pytest.raises(ValueError, match="no velocities"):
+        load_sampler_checkpoint(path, tmpl)
