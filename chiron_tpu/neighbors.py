@@ -507,8 +507,21 @@ class DensePairs(PairsBase):
 
     def calculate(self, positions: jnp.ndarray):
         """Dense distances via the jnp oracle path (API parity; the hot
-        paths use the potential's fused kernel instead)."""
+        paths use the potential's fused kernel instead).
+
+        NOTE: materializes the full N x N pair matrix -- O(N^2) memory.
+        Fine for parity tests and small systems; at large N use
+        NeighborListNsqrd (bounded per-particle capacity) or the fused
+        kernels, which never materialize pair arrays.
+        """
         positions = jnp.asarray(positions)
+        if positions.shape[0] > 20_000:
+            raise ValueError(
+                f"DensePairs.calculate materializes an N x N pair matrix; "
+                f"N={positions.shape[0]} would need "
+                f"{positions.shape[0] ** 2 * 16 / 1e9:.1f}+ GB. Use "
+                "NeighborListNsqrd or the fused kernel paths at this size."
+            )
         if positions.shape[0] != self.n_particles:
             raise ValueError(
                 f"Number of particles cannot changes without rebuilding. "

@@ -1,0 +1,184 @@
+"""Physical observables over sampled configurations.
+
+The first things a user asks of a sampler once it runs: structure (RDF),
+mechanical state (virial pressure), and response functions (heat capacity).
+The reference computes none of these (SURVEY.md section 5 lists no analysis
+beyond MBAR free energies); this module adds them TPU-first -- each
+estimator is one jitted pass over a trajectory stacked on a frame axis, and
+ensemble reweighting hooks into
+:meth:`chiron_tpu.analysis.MBAREstimator.compute_expectation`.
+
+All inputs are unitless MD-system numerics (nm, kJ/mol, K) per the
+construction-boundary convention (CLAUDE.md design invariants).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import units
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def _rdf_histogram(positions, box_diag, r_max, n_bins: int):
+    """Pair-distance histogram of ONE frame: (n_bins,) counts (i<j pairs)."""
+    n = positions.shape[0]
+    d = positions[:, None, :] - positions[None, :, :]
+    d = d - box_diag * jnp.round(d / box_diag)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    iu = jnp.triu_indices(n, k=1)
+    r = r[iu]
+    bins = jnp.clip(
+        jnp.floor(r / r_max * n_bins).astype(jnp.int32), 0, n_bins
+    )
+    # one-hot reduction: TPU-friendly histogram (no scatters); pairs beyond
+    # r_max land in the clip sentinel bin n_bins and are excluded
+    in_range = (r < r_max)[:, None]
+    counts = jnp.sum(
+        (bins[:, None] == jnp.arange(n_bins)[None, :]) & in_range,
+        axis=0, dtype=jnp.float32,
+    )
+    return counts
+
+
+def radial_distribution_function(
+    positions,
+    box_vectors,
+    r_max: Optional[float] = None,
+    n_bins: int = 100,
+):
+    """g(r) averaged over a trajectory.
+
+    Parameters
+    ----------
+    positions : (n_frames, N, 3) or (N, 3) array (nm, or Quantity)
+    box_vectors : (3, 3) box (orthorhombic; nm, or Quantity)
+    r_max : maximum distance (defaults to L/2)
+    n_bins : histogram resolution
+
+    Returns
+    -------
+    (r_centers, g) as numpy arrays.
+    """
+    pos = np.asarray(units.strip_md(positions, units.nanometer))
+    box = np.asarray(units.strip_md(box_vectors, units.nanometer))
+    box_diag = jnp.asarray(np.diagonal(box), dtype=jnp.float32)
+    if pos.ndim == 2:
+        pos = pos[None]
+    n_frames, n, _ = pos.shape
+    L_min = float(box_diag.min())
+    if r_max is None:
+        r_max = 0.5 * L_min
+    if r_max > 0.5 * L_min + 1e-9:
+        raise ValueError(
+            f"r_max ({r_max}) exceeds half the box ({0.5 * L_min}): the "
+            "minimum-image histogram would alias"
+        )
+    counts = np.zeros(n_bins, dtype=np.float64)
+    for f in range(n_frames):
+        counts += np.asarray(
+            _rdf_histogram(
+                jnp.asarray(pos[f], jnp.float32), box_diag,
+                jnp.float32(r_max), n_bins,
+            )
+        )
+    counts /= n_frames
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    r_centers = 0.5 * (edges[1:] + edges[:-1])
+    shell_vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    volume = float(np.prod(np.diagonal(box)))
+    rho = n / volume
+    # i<j pairs: N(N-1)/2 ideal pairs per shell density rho/2 * N
+    ideal = shell_vol * rho * n / 2.0
+    g = counts / ideal
+    return r_centers, g
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "epsilon", "cutoff"),
+)
+def lj_virial(positions, box_diag, sigma: float, epsilon: float,
+              cutoff: float):
+    """Pair virial W = sum_{i<j} f_ij . r_ij for the cutoff LJ potential.
+
+    Equals -3V dU/dV under uniform scaling of a configuration, so
+    P_inst = (N kT + W/3) / V is the instantaneous virial pressure.
+    """
+    n = positions.shape[0]
+    d = positions[:, None, :] - positions[None, :, :]
+    d = d - box_diag * jnp.round(d / box_diag)
+    r2 = jnp.sum(d * d, axis=-1)
+    ids = jnp.arange(n)
+    m = (r2 < cutoff * cutoff) & (ids[:, None] < ids[None, :])
+    r2s = jnp.where(m, r2, 1.0)
+    i2 = (sigma * sigma) / r2s
+    i6 = i2 * i2 * i2
+    # f.r = 24 eps (2 (s/r)^12 - (s/r)^6)
+    w = jnp.where(m, 24.0 * epsilon * (2.0 * i6 * i6 - i6), 0.0)
+    return jnp.sum(w)
+
+
+def lj_virial_pressure(
+    positions,
+    box_vectors,
+    temperature,
+    sigma: float,
+    epsilon: float,
+    cutoff: float,
+):
+    """Virial pressure of LJ configurations: P = (N kT + W/3)/V (kJ/mol/nm^3).
+
+    ``positions`` may be one frame (N, 3) or a trajectory (F, N, 3); the
+    trajectory average is returned for the latter.  Multiply by
+    :data:`PRESSURE_MD_TO_BAR` for bar.
+    """
+    pos = np.asarray(units.strip_md(positions, units.nanometer))
+    box = np.asarray(units.strip_md(box_vectors, units.nanometer))
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    box_diag = jnp.asarray(np.diagonal(box), dtype=jnp.float32)
+    volume = float(np.prod(np.diagonal(box)))
+    if pos.ndim == 2:
+        pos = pos[None]
+    n = pos.shape[1]
+    ws = [
+        float(lj_virial(jnp.asarray(p, jnp.float32), box_diag,
+                        float(sigma), float(epsilon), float(cutoff)))
+        for p in pos
+    ]
+    w = float(np.mean(ws))
+    return (n * kT + w / 3.0) / volume
+
+
+def heat_capacity_nvt(energies, temperature):
+    """C_V from NVT energy fluctuations: (<E^2>-<E>^2) / (kB T^2).
+
+    ``energies``: potential+kinetic samples in kJ/mol (add (3N/2) kB to the
+    result when only potential energies are supplied and the kinetic part
+    is the classical ideal contribution).  Returns kJ/mol/K.
+    """
+    E = np.asarray(units.strip_md(energies, units.kilojoule_per_mole),
+                   dtype=np.float64)
+    T = units.strip_md(temperature, units.kelvin)
+    return float(np.var(E) / (units.kB_MD * T * T))
+
+
+def mbar_expectation(estimator, samples, state_index: int = 0):
+    """<A> at a thermodynamic state via MBAR reweighting.
+
+    Thin convenience over
+    :meth:`chiron_tpu.analysis.MBAREstimator.compute_expectation` for
+    observable arrays shaped like the estimator's sample axis.
+    """
+    return estimator.compute_expectation(
+        np.asarray(samples).reshape(-1), state_index=state_index
+    )
+
+
+# bar per (kJ/mol/nm^3): 1 kJ/mol/nm^3 = 16.6054 bar
+PRESSURE_MD_TO_BAR = 16.605390671738466

@@ -1,0 +1,93 @@
+"""Observable-layer tests: RDF, virial pressure, heat capacity.
+
+Each estimator is validated against an exact construction: ideal-gas RDF
+against g(r) = 1, the LJ virial against a finite-difference -3V dU/dV, and
+the pressure of a zero-interaction system against rho*kT.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chiron_tpu import units as u
+from chiron_tpu.observables import (
+    PRESSURE_MD_TO_BAR,
+    heat_capacity_nvt,
+    lj_virial,
+    lj_virial_pressure,
+    radial_distribution_function,
+)
+
+L = 4.0
+SIGMA, EPS, CUTOFF = 0.34, 0.99579, 1.02
+
+
+def test_rdf_of_ideal_gas_is_unity():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, L, size=(40, 500, 3)).astype(np.float32)
+    box = np.eye(3) * L
+    r, g = radial_distribution_function(pos, box, n_bins=40)
+    # skip the first bins (few ideal pairs -> noisy); the rest must be ~1
+    assert np.all(np.abs(g[5:] - 1.0) < 0.1)
+    assert r[-1] < 0.5 * L + 1e-6
+
+
+def test_rdf_rmax_guard():
+    pos = np.zeros((4, 3))
+    with pytest.raises(ValueError, match="half the box"):
+        radial_distribution_function(pos, np.eye(3) * L, r_max=3.0)
+
+
+def test_lj_virial_matches_finite_difference():
+    """W == -3V dU/dV under uniform scaling (exact virial identity)."""
+    rng = np.random.default_rng(3)
+    n = 64
+    pos = rng.uniform(0, L, size=(n, 3)).astype(np.float64)
+    box_diag = jnp.asarray([L, L, L], jnp.float32)
+
+    def U(scale):
+        p = jnp.asarray(pos * scale, jnp.float32)
+        b = box_diag * scale
+        d = p[:, None, :] - p[None, :, :]
+        d = d - b * jnp.round(d / b)
+        r2 = jnp.sum(d * d, -1)
+        ids = jnp.arange(n)
+        m = (r2 < CUTOFF * CUTOFF) & (ids[:, None] < ids[None, :])
+        r2s = jnp.where(m, r2, 1.0)
+        i6 = ((SIGMA * SIGMA) / r2s) ** 3
+        return float(jnp.sum(jnp.where(m, 4 * EPS * (i6 * i6 - i6), 0.0)))
+
+    W = float(lj_virial(jnp.asarray(pos, jnp.float32), box_diag,
+                        SIGMA, EPS, CUTOFF))
+    eps_s = 1e-4
+    dU_dlnV = (U(1.0 + eps_s) - U(1.0 - eps_s)) / (
+        ((1 + eps_s) ** 3 - (1 - eps_s) ** 3) / 1.0
+    )  # dU/d(V/V0)
+    # W = -3 V dU/dV = -3 dU/d(lnV-ish): with V = V0 s^3: dU/dV * V = W/-3
+    W_fd = -3.0 * dU_dlnV
+    assert W == pytest.approx(W_fd, rel=2e-2, abs=0.5)
+
+
+def test_pressure_of_noninteracting_gas_is_ideal():
+    rng = np.random.default_rng(1)
+    n = 200
+    pos = rng.uniform(0, L, size=(n, 3))
+    box = np.eye(3) * L
+    T = 120.0 * u.kelvin
+    P = lj_virial_pressure(pos, box, T, sigma=SIGMA, epsilon=0.0,
+                           cutoff=CUTOFF)
+    rho_kT = n * u.kB_MD * 120.0 / L ** 3
+    assert P == pytest.approx(rho_kT, rel=1e-6)
+    assert P * PRESSURE_MD_TO_BAR == pytest.approx(
+        rho_kT * 16.6054, rel=1e-3
+    )
+
+
+def test_heat_capacity_of_gaussian_energy_samples():
+    rng = np.random.default_rng(7)
+    T = 300.0
+    sigma_E = 5.0  # kJ/mol
+    E = rng.normal(100.0, sigma_E, size=200_000)
+    cv = heat_capacity_nvt(E, T * u.kelvin)
+    expected = sigma_E ** 2 / (u.kB_MD * T * T)
+    assert cv == pytest.approx(expected, rel=2e-2)
