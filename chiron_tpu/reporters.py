@@ -293,9 +293,12 @@ class LangevinDynamicsReporter(_SimulationReporter):
         self.topology = topology
         self._dcd_writer: Optional[DCDWriter] = None
         self.dcd_file_path = f"{self.file_path_base}.dcd"
-        # XTC path name kept for reference parity; only written with mdtraj.
+        # XTC written natively (chiron_tpu.native.xtc) whenever a C
+        # compiler is available; mdtraj is the fallback, matching the
+        # reference's format exactly (reference reporters.py:351-432)
         self.xtc_file_path = f"{self.file_path_base}.xtc"
         self._write_xtc_file_handle = None
+        self._native_xtc_writer = None
 
     @classmethod
     def get_name(cls):
@@ -319,7 +322,21 @@ class LangevinDynamicsReporter(_SimulationReporter):
             self._dcd_writer.write(positions[i] * 10.0, box_lengths)
         self._dcd_writer.flush()
 
-        if _HAS_MDTRAJ:
+        from .native import has_native_xtc
+
+        if has_native_xtc():
+            if self._native_xtc_writer is None:
+                from .native.xtc_io import XTCWriter
+
+                self._native_xtc_writer = XTCWriter(self.xtc_file_path)
+            for i in range(n_frames):
+                box_nm = None
+                if boxes is not None and i < len(boxes) and boxes[i] is not None:
+                    box_nm = np.asarray(boxes[i])
+                # positions arrive in nm (the DCD write above scales x10
+                # for Angstroms); XTC stores nm directly
+                self._native_xtc_writer.write(positions[i], box_nm)
+        elif _HAS_MDTRAJ:
             if self._write_xtc_file_handle is None:
                 self._write_xtc_file_handle = _mdtraj.formats.XTCTrajectoryFile(
                     self.xtc_file_path, mode="w"
@@ -336,6 +353,8 @@ class LangevinDynamicsReporter(_SimulationReporter):
         super().flush_buffer()
         if self._dcd_writer is not None:
             self._dcd_writer.flush()
+        if self._native_xtc_writer is not None:
+            self._native_xtc_writer.flush()
         if self._write_xtc_file_handle is not None:
             self._write_xtc_file_handle.flush()
 
