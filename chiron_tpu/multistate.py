@@ -382,6 +382,84 @@ class MultiStateSampler:
             return self._online_estimator.f_k
         raise RuntimeError("No free energy estimator found.")
 
+    # -- session checkpoint --------------------------------------------------
+    def save_session(self, path: str):
+        """Persist the full multistate session: every replica's sampler
+        state, the replica->state permutation, swap matrices, the energy
+        matrix, and move bookkeeping (SURVEY.md section 5
+        checkpoint/resume; the reference has no restore path at all)."""
+        from .checkpoint import save_checkpoint
+
+        tree = {
+            f"replica_{i}": s.as_data()
+            for i, s in enumerate(self._sampler_states)
+        }
+        tree["permutation"] = np.asarray(
+            self._replica_thermodynamic_states, dtype=np.int64
+        )
+        tree["n_accepted"] = self._n_accepted_matrix
+        tree["n_proposed"] = self._n_proposed_matrix
+        tree["u_matrix"] = self._energy_thermodynamic_states
+        attempts = [
+            int(move._number_of_attempts_made)
+            for sampler in self._mcmc_sampler
+            for _, move in sampler.move.move_schedule
+        ]
+        save_checkpoint(path, tree, metadata={
+            "iteration": int(self._iteration),
+            "n_replicas": int(self.number_of_replicas),
+            "move_attempts": attempts,
+        })
+
+    def load_session(self, path: str):
+        """Restore a session saved by :meth:`save_session` into this
+        (identically created) sampler; returns the checkpoint metadata."""
+        from dataclasses import replace as _replace
+
+        from .checkpoint import load_checkpoint
+
+        def data_of(s):
+            d = s.as_data()
+            if d.velocities is None:
+                # propagated sessions carry velocities; densify a freshly
+                # created template so leaves match by field
+                d = _replace(d, velocities=jnp.zeros_like(d.positions))
+            return d
+
+        template = {
+            f"replica_{i}": data_of(s)
+            for i, s in enumerate(self._sampler_states)
+        }
+        template["permutation"] = np.asarray(
+            self._replica_thermodynamic_states, dtype=np.int64
+        )
+        template["n_accepted"] = self._n_accepted_matrix
+        template["n_proposed"] = self._n_proposed_matrix
+        template["u_matrix"] = self._energy_thermodynamic_states
+        tree, meta = load_checkpoint(path, like=template)
+        if meta.get("n_replicas") != self.number_of_replicas:
+            raise ValueError(
+                f"checkpoint has {meta.get('n_replicas')} replicas, "
+                f"sampler has {self.number_of_replicas}"
+            )
+        for i, s in enumerate(self._sampler_states):
+            s.update_from_data(tree[f"replica_{i}"])
+        self._replica_thermodynamic_states = np.asarray(
+            tree["permutation"], dtype=int
+        )
+        self._n_accepted_matrix = np.asarray(tree["n_accepted"])
+        self._n_proposed_matrix = np.asarray(tree["n_proposed"])
+        self._energy_thermodynamic_states = np.asarray(tree["u_matrix"])
+        self._iteration = meta["iteration"]
+        attempts = iter(meta.get("move_attempts", []))
+        for sampler in self._mcmc_sampler:
+            for _, move in sampler.move.move_schedule:
+                try:
+                    move._number_of_attempts_made = next(attempts)
+                except StopIteration:
+                    break
+        return meta
+
 
 class ReplicaExchangeSampler(MultiStateSampler):
     """Even/odd neighbor-swap replica exchange.

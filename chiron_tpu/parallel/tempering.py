@@ -290,6 +290,10 @@ class ParallelTemperingSampler:
             energy_fn, self.masses, self.timestep, self.collision_rate,
             pairs=self.pairs,
         )
+        # only the Verlet-list chain contains a lax.cond (the rebuild
+        # branch), which vmap would turn into a both-branches select;
+        # every other chain is safely vmappable within a chip
+        self._chain_vmappable = not isinstance(self.pairs, NeighborListNsqrd)
         self._build_sharded_propagator()
 
     def _initialize_dense(self, positions, box_vectors, masses, seed):
@@ -339,6 +343,7 @@ class ParallelTemperingSampler:
         self._chain = make_pt_dense_chain_fn(
             op, m_lane, self.timestep, self.collision_rate
         )
+        self._chain_vmappable = True
         self._build_sharded_propagator()
 
     def _build_sharded_propagator(self):
@@ -350,15 +355,16 @@ class ParallelTemperingSampler:
         chain = self._chain
 
         local_R = self.n_replicas // mesh.devices.size
+        vmappable = getattr(self, "_chain_vmappable", False)
 
         def propagate_local(x, v, keys, box, list_state, kTs, n_steps):
-            # NOTE: vmap would turn the conditional neighbor rebuild
-            # (lax.cond) into a select that executes BOTH branches -- i.e.
-            # an O(N^2) rebuild every step for every replica.  To keep real
-            # branch semantics we run the single local replica directly, or
-            # lax.map (sequential per chip, parallel across chips) when a
-            # chip owns a replica block.  Each replica's chain saturates the
-            # VPU on its own for the particle counts of interest.
+            # The Verlet-list chain contains a lax.cond (rebuild branch)
+            # that vmap would turn into a both-branches select -- an
+            # O(N^2) rebuild every step for every replica.  Those chains
+            # run per-replica (direct call / lax.map, parallel across
+            # chips).  Cond-free chains (dense kernel, pair list, bare
+            # potentials) vmap across the chip's whole replica block,
+            # recovering within-chip parallelism for small-N replicas.
             if local_R == 1:
                 sq = lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
                 ex = lambda t: jax.tree_util.tree_map(lambda a: a[None], t)
@@ -367,6 +373,10 @@ class ParallelTemperingSampler:
                     sq(kTs), n_steps,
                 )
                 return tuple(ex(o) for o in out)
+            if vmappable:
+                return jax.vmap(
+                    lambda *args: chain(*args, n_steps)
+                )(x, v, keys, box, list_state, kTs)
             return jax.lax.map(
                 lambda args: chain(*args, n_steps),
                 (x, v, keys, box, list_state, kTs),

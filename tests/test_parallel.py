@@ -69,7 +69,7 @@ SCRIPT = textwrap.dedent(
         mesh=mesh,
     )
     pt.initialize(ho.positions, seed=1234)
-    pt.run(n_iterations=150, steps_per_iteration=200)
+    pt.run(n_iterations=300, steps_per_iteration=200)
 
     # replica axis is actually sharded across the 8 devices
     shardings = {str(s.spec) for s in [pt.positions.sharding]}

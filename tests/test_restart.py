@@ -215,3 +215,75 @@ def test_sampler_checkpoint_field_mismatch_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="no velocities"):
         load_sampler_checkpoint(path, tmpl)
+
+
+def test_multistate_session_restart_matches_inprocess_continuation(tmp_path):
+    """A MultiStateSampler session saved and restored into a fresh sampler
+    continues exactly like the same sampler continuing in-process."""
+    import math
+
+    from chiron_tpu.mcmc import LangevinDynamicsMove, MCMCSampler, MoveSchedule
+    from chiron_tpu.multistate import ReplicaExchangeSampler
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.reporters import BaseReporter, MultistateReporter
+
+    def make(subdir):
+        ho = HarmonicOscillator()
+        T = 300.0 * u.kelvin
+        kT = u.BOLTZMANN_CONSTANT_kB * T * u.AVOGADRO_CONSTANT_NA
+        states = [
+            ThermodynamicState(
+                HarmonicOscillatorPotential(
+                    ho.topology,
+                    k=kT / u.Quantity(2.0 + 0.2 * i, u.angstrom) ** 2,
+                ),
+                temperature=T,
+            )
+            for i in range(4)
+        ]
+        PRNG.set_seed(77)
+        sampler_states = [
+            SamplerState(ho.positions, current_PRNG_key=PRNG.get_random_key())
+            for _ in range(4)
+        ]
+        BaseReporter.set_directory(str(tmp_path / subdir))
+        reporter = MultistateReporter()
+        reporter.reset_reporter_file()
+        move = LangevinDynamicsMove(
+            timestep=2.0 * u.femtoseconds, number_of_steps=25
+        )
+        s = ReplicaExchangeSampler(
+            mcmc_sampler=MCMCSampler(
+                MoveSchedule([("LangevinDynamicsMove", move)])
+            ),
+            reporter=reporter,
+        )
+        s.create(states, sampler_states, [None] * 4)
+        return s
+
+    # in-process continuation: run(3) then run(3) more
+    ref = make("ref")
+    ref.run(3)
+    ref.run(3)
+
+    # interrupted: run(3), save, restore into a FRESH sampler, run(3)
+    a = make("a")
+    a.run(3)
+    path = str(tmp_path / "ms_session.npz")
+    a.save_session(path)
+    b = make("b")
+    b.load_session(path)
+    assert b._iteration == 3
+    b.run(3)
+
+    assert b._iteration == ref._iteration
+    np.testing.assert_array_equal(
+        b._replica_thermodynamic_states, ref._replica_thermodynamic_states
+    )
+    np.testing.assert_array_equal(
+        b._energy_thermodynamic_states, ref._energy_thermodynamic_states
+    )
+    for sb, sr in zip(b._sampler_states, ref._sampler_states):
+        np.testing.assert_array_equal(
+            np.asarray(sb.positions), np.asarray(sr.positions)
+        )
