@@ -61,14 +61,95 @@ def sort_by_key_strip(pos3: jnp.ndarray, payloads):
     return jnp.stack(sorted_ops[0:3]), tuple(sorted_ops[3:])
 
 
-def make_triangle_addmask(tm: int, strip_w: int) -> jnp.ndarray:
-    """(tm, strip_w) f32: +BIG on slots whose strip col <= row (the leading
-    tile's lower triangle + diagonal), 0 elsewhere.  Strip col k holds
-    global rank row0 + k, row r holds rank row0 + r: mask k <= r."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (tm, strip_w), 0)
-    k = jax.lax.broadcasted_iota(jnp.int32, (tm, strip_w), 1)
-    return jnp.where(k <= r, jnp.float32(_BIG), 0.0)
+_SUBW = 2048  # strip sub-block width: caps VMEM temporaries at (tm, 2048)
 
+
+
+
+def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
+                      Ly, inv_Ly, Lz, inv_Lz,
+                      sigma2, cutoff2, approx_recip):
+    """Chunked halo-strip force pass (RMW into the zeroed fext_ref).
+
+    The (tm, tm+H) strip is processed in sub-blocks of at most _SUBW
+    columns so elementwise temporaries stay bounded regardless of the band
+    width (a 65k-particle band would otherwise blow VMEM).  Sub-block 0
+    carries the leading-tile triangle mask (col <= row adds BIG to r2);
+    later sub-blocks are pure cutoff masks.
+    """
+    strip_w = tm + H
+    subw = min(_SUBW, strip_w)
+    n_sub = strip_w // subw  # strip_w is rounded to a multiple at set_halo
+    nr = n_pad // tm
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, subw), 1)
+
+    def row_body(i, _):
+        row0 = pl.multiple_of(i * tm, tm)
+        xi = x_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
+        yi = x_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
+        zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
+
+        def sub_body(j, acc):
+            fx, fy, fz = acc
+            col0 = pl.multiple_of(row0 + j * subw, min(tm, subw))
+            xj = x_ref[0, pl.ds(col0, subw)].reshape(1, subw)
+            yj = x_ref[1, pl.ds(col0, subw)].reshape(1, subw)
+            zj = x_ref[2, pl.ds(col0, subw)].reshape(1, subw)
+            dx = xi - xj
+            dy = yi - yj
+            dy = dy - Ly * jnp.floor(dy * inv_Ly + 0.5)
+            dz = zi - zj
+            dz = dz - Lz * jnp.floor(dz * inv_Lz + 0.5)
+            r2 = dx * dx + dy * dy + dz * dz
+
+            def with_tri(r2):
+                # leading sub-block: mask col <= row (triangle + diagonal)
+                return r2 + jnp.where(
+                    iota_c <= iota_r, jnp.float32(_BIG), 0.0
+                )
+
+            r2 = jax.lax.cond(j == 0, with_tri, lambda r2: r2, r2)
+            r2 = r2 + jnp.where(r2 < cutoff2, 0.0, jnp.float32(_BIG))
+            r2 = jnp.maximum(r2, 1e-4 * sigma2)
+            if approx_recip:
+                inv = pl.reciprocal(r2, approx=True)
+            else:
+                inv = 1.0 / r2
+            i2 = sigma2 * inv
+            i6 = i2 * i2 * i2
+            coef = (2.0 * (i6 * i6) - i6) * inv  # eps folded in afterwards
+            tx = coef * dx
+            ty = coef * dy
+            tz = coef * dz
+            fext_ref[0, pl.ds(col0, subw)] = (
+                fext_ref[0, pl.ds(col0, subw)] - jnp.sum(tx, axis=0)
+            )
+            fext_ref[1, pl.ds(col0, subw)] = (
+                fext_ref[1, pl.ds(col0, subw)] - jnp.sum(ty, axis=0)
+            )
+            fext_ref[2, pl.ds(col0, subw)] = (
+                fext_ref[2, pl.ds(col0, subw)] - jnp.sum(tz, axis=0)
+            )
+            fx = fx + jnp.sum(tx, axis=1, keepdims=True)
+            fy = fy + jnp.sum(ty, axis=1, keepdims=True)
+            fz = fz + jnp.sum(tz, axis=1, keepdims=True)
+            return fx, fy, fz
+
+        z = jnp.zeros((tm, 1), jnp.float32)
+        fx, fy, fz = jax.lax.fori_loop(0, n_sub, sub_body, (z, z, z))
+        fext_ref[0, pl.ds(row0, tm)] = (
+            fext_ref[0, pl.ds(row0, tm)] + fx[:, 0]
+        )
+        fext_ref[1, pl.ds(row0, tm)] = (
+            fext_ref[1, pl.ds(row0, tm)] + fy[:, 0]
+        )
+        fext_ref[2, pl.ds(row0, tm)] = (
+            fext_ref[2, pl.ds(row0, tm)] + fz[:, 0]
+        )
+        return _
+
+    jax.lax.fori_loop(0, nr, row_body, 0)
 
 def _make_strip_md_kernel(n, n_pad, tm, H, sigma, epsilon, cutoff,
                           dt, a_coef, b_coef, approx_recip):
@@ -79,7 +160,7 @@ def _make_strip_md_kernel(n, n_pad, tm, H, sigma, epsilon, cutoff,
     nr = n_pad // tm
     n_ext = n_pad + H
 
-    def kernel(box_ref, seed_ref, off_ref, minv_ref, sigv_ref, trimask_ref,
+    def kernel(box_ref, seed_ref, off_ref, minv_ref, sigv_ref,
                x_in, v_in, f_in, x_ref, v_ref, f_ref, fext_ref):
         s = pl.program_id(0)
         Lx = box_ref[0, 0]
@@ -153,58 +234,12 @@ def _make_strip_md_kernel(n, n_pad, tm, H, sigma, epsilon, cutoff,
         x_ref[1, n_pad:] = x_ref[1, :H]
         x_ref[2, n_pad:] = x_ref[2, :H]
 
-        # ---- halo-strip force pass ----
+        # ---- halo-strip force pass (chunked) ----
         fext_ref[...] = jnp.zeros((3, n_ext), jnp.float32)
-
-        def row_body(i, _):
-            row0 = pl.multiple_of(i * tm, tm)
-            xi = x_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
-            yi = x_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
-            zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
-            xj = x_ref[0, pl.ds(row0, strip_w)].reshape(1, strip_w)
-            yj = x_ref[1, pl.ds(row0, strip_w)].reshape(1, strip_w)
-            zj = x_ref[2, pl.ds(row0, strip_w)].reshape(1, strip_w)
-            # x needs no fold (halo pre-applies the wrap image; the sort
-            # bounds non-wrap |dx| by the strip reach); y/z min-image
-            dx = xi - xj
-            dy = yi - yj
-            dy = dy - Ly * jnp.floor(dy * inv_Ly + 0.5)
-            dz = zi - zj
-            dz = dz - Lz * jnp.floor(dz * inv_Lz + 0.5)
-            r2 = dx * dx + dy * dy + dz * dz + trimask_ref[...]
-            r2 = r2 + jnp.where(r2 < cutoff2, 0.0, jnp.float32(_BIG))
-            r2 = jnp.maximum(r2, 1e-4 * sigma2)
-            if approx_recip:
-                inv = pl.reciprocal(r2, approx=True)
-            else:
-                inv = 1.0 / r2
-            i2 = sigma2 * inv
-            i6 = i2 * i2 * i2
-            coef = (2.0 * (i6 * i6) - i6) * inv  # eps folded in afterwards
-            tx = coef * dx
-            ty = coef * dy
-            tz = coef * dz
-            fext_ref[0, pl.ds(row0, tm)] = (
-                fext_ref[0, pl.ds(row0, tm)] + jnp.sum(tx, axis=1)
-            )
-            fext_ref[1, pl.ds(row0, tm)] = (
-                fext_ref[1, pl.ds(row0, tm)] + jnp.sum(ty, axis=1)
-            )
-            fext_ref[2, pl.ds(row0, tm)] = (
-                fext_ref[2, pl.ds(row0, tm)] + jnp.sum(tz, axis=1)
-            )
-            fext_ref[0, pl.ds(row0, strip_w)] = (
-                fext_ref[0, pl.ds(row0, strip_w)] - jnp.sum(tx, axis=0)
-            )
-            fext_ref[1, pl.ds(row0, strip_w)] = (
-                fext_ref[1, pl.ds(row0, strip_w)] - jnp.sum(ty, axis=0)
-            )
-            fext_ref[2, pl.ds(row0, strip_w)] = (
-                fext_ref[2, pl.ds(row0, strip_w)] - jnp.sum(tz, axis=0)
-            )
-            return _
-
-        jax.lax.fori_loop(0, nr, row_body, 0)
+        _strip_force_pass(
+            x_ref, fext_ref, n_pad, tm, H, Ly, inv_Ly, Lz, inv_Lz,
+            sigma2, cutoff2, approx_recip,
+        )
         # fold the halo reactions back onto ranks 0..H-1 and apply the
         # 24*eps scale once per step
         f = fext_ref[:, :n_pad]
@@ -224,7 +259,7 @@ def _make_strip_md_kernel(n, n_pad, tm, H, sigma, epsilon, cutoff,
                      "interpret"),
 )
 def strip_md_raw(xe, v3, f3, box_diag, seed, step_offset, minv, sigv,
-                 trimask, n: int, n_steps: int, tm: int, H: int,
+                 n: int, n_steps: int, tm: int, H: int,
                  sigma: float, epsilon: float, cutoff: float, dt: float,
                  a_coef: float, b_coef: float, approx_recip: bool,
                  interpret: bool):
@@ -249,7 +284,6 @@ def strip_md_raw(xe, v3, f3, box_diag, seed, step_offset, minv, sigv,
             smem((1, 1)),                 # step offset
             vmem((1, n_pad)),             # 1/m
             vmem((1, n_pad)),             # sigma_v
-            vmem((tm, tm + H)),           # additive triangle mask
             vmem((3, n_ext)),             # x extended
             vmem((3, n_pad)),             # v (half-kick convention)
             vmem((3, n_pad)),             # F
@@ -261,9 +295,9 @@ def strip_md_raw(xe, v3, f3, box_diag, seed, step_offset, minv, sigv,
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((3, n_ext), jnp.float32)],
-        input_output_aliases={6: 0, 7: 1, 8: 2},
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
-    )(box_diag.reshape(1, 3), seed, step_offset, minv, sigv, trimask,
+    )(box_diag.reshape(1, 3), seed, step_offset, minv, sigv,
       xe, v3, f3)
 
 
@@ -304,8 +338,11 @@ class StripLJMD:
         self._trimask = None
 
     def set_halo(self, H: int):
-        """Fix the static halo width (multiple of tm; >= band width)."""
+        """Fix the static halo width (>= band width; aligned so the strip
+        splits into whole _SUBW sub-blocks when it exceeds one)."""
         H = _round_up(H, self.tm)
+        if self.tm + H > _SUBW:
+            H = _round_up(self.tm + H, _SUBW) - self.tm
         if self.n_pad < 2 * (self.tm + H):
             raise ValueError(
                 f"halo {H} too wide for n_pad={self.n_pad}: pairs would "
@@ -313,7 +350,6 @@ class StripLJMD:
                 "for boxes this small"
             )
         self.H = H
-        self._trimask = make_triangle_addmask(self.tm, self.tm + H)
 
     def extend(self, pos3_sorted, box_diag):
         """Build the (3, n_pad + H) extended array from sorted positions."""
@@ -328,7 +364,7 @@ class StripLJMD:
             xe, w_in, f3, box_diag,
             jnp.asarray(seed, jnp.int32).reshape(1, 1),
             jnp.asarray(step_offset, jnp.int32).reshape(1, 1),
-            self.minv, self.sigv, self._trimask,
+            self.minv, self.sigv,
             self.n, n_steps, self.tm, self.H, self.sigma, self.epsilon,
             self.cutoff, self.dt, self.a, self.b, approx_recip,
             self.interpret,
@@ -339,7 +375,7 @@ class StripLJMD:
     def force(self, xe, box_diag, approx_recip: bool = True):
         """Standalone force over extended positions; returns (3, n_pad)."""
         return strip_force_raw(
-            xe, box_diag, self._trimask, self.n, self.tm, self.H,
+            xe, box_diag, self.n, self.tm, self.H,
             self.sigma, self.epsilon, self.cutoff, approx_recip,
             self.interpret,
         )
@@ -350,7 +386,7 @@ class StripLJMD:
     static_argnames=("n", "tm", "H", "sigma", "epsilon", "cutoff",
                      "approx_recip", "interpret"),
 )
-def strip_force_raw(xe, box_diag, trimask, n: int, tm: int, H: int,
+def strip_force_raw(xe, box_diag, n: int, tm: int, H: int,
                     sigma: float, epsilon: float, cutoff: float,
                     approx_recip: bool, interpret: bool):
     """Standalone halo-strip force over extended positions (oracle surface
@@ -360,62 +396,15 @@ def strip_force_raw(xe, box_diag, trimask, n: int, tm: int, H: int,
     sigma2 = sigma * sigma
     eps6x4 = 24.0 * epsilon
     cutoff2 = cutoff * cutoff
-    strip_w = tm + H
-    nr = n_pad // tm
 
-    def kernel(box_ref, trimask_ref, x_ref, f_ref, fext_ref):
+    def kernel(box_ref, x_ref, f_ref, fext_ref):
         Ly = box_ref[0, 1]
         Lz = box_ref[0, 2]
-        inv_Ly, inv_Lz = 1.0 / Ly, 1.0 / Lz
         fext_ref[...] = jnp.zeros((3, n_ext), jnp.float32)
-
-        def row_body(i, _):
-            row0 = pl.multiple_of(i * tm, tm)
-            xi = x_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
-            yi = x_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
-            zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
-            xj = x_ref[0, pl.ds(row0, strip_w)].reshape(1, strip_w)
-            yj = x_ref[1, pl.ds(row0, strip_w)].reshape(1, strip_w)
-            zj = x_ref[2, pl.ds(row0, strip_w)].reshape(1, strip_w)
-            dx = xi - xj
-            dy = yi - yj
-            dy = dy - Ly * jnp.floor(dy * inv_Ly + 0.5)
-            dz = zi - zj
-            dz = dz - Lz * jnp.floor(dz * inv_Lz + 0.5)
-            r2 = dx * dx + dy * dy + dz * dz + trimask_ref[...]
-            r2 = r2 + jnp.where(r2 < cutoff2, 0.0, jnp.float32(_BIG))
-            r2 = jnp.maximum(r2, 1e-4 * sigma2)
-            if approx_recip:
-                inv = pl.reciprocal(r2, approx=True)
-            else:
-                inv = 1.0 / r2
-            i2 = sigma2 * inv
-            i6 = i2 * i2 * i2
-            coef = (2.0 * (i6 * i6) - i6) * inv
-            tx = coef * dx
-            ty = coef * dy
-            tz = coef * dz
-            fext_ref[0, pl.ds(row0, tm)] = (
-                fext_ref[0, pl.ds(row0, tm)] + jnp.sum(tx, axis=1)
-            )
-            fext_ref[1, pl.ds(row0, tm)] = (
-                fext_ref[1, pl.ds(row0, tm)] + jnp.sum(ty, axis=1)
-            )
-            fext_ref[2, pl.ds(row0, tm)] = (
-                fext_ref[2, pl.ds(row0, tm)] + jnp.sum(tz, axis=1)
-            )
-            fext_ref[0, pl.ds(row0, strip_w)] = (
-                fext_ref[0, pl.ds(row0, strip_w)] - jnp.sum(tx, axis=0)
-            )
-            fext_ref[1, pl.ds(row0, strip_w)] = (
-                fext_ref[1, pl.ds(row0, strip_w)] - jnp.sum(ty, axis=0)
-            )
-            fext_ref[2, pl.ds(row0, strip_w)] = (
-                fext_ref[2, pl.ds(row0, strip_w)] - jnp.sum(tz, axis=0)
-            )
-            return _
-
-        jax.lax.fori_loop(0, nr, row_body, 0)
+        _strip_force_pass(
+            x_ref, fext_ref, n_pad, tm, H, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
+            sigma2, cutoff2, approx_recip,
+        )
         f = fext_ref[:, :n_pad]
         fold = jnp.concatenate(
             [fext_ref[:, n_pad:], jnp.zeros((3, n_pad - H), jnp.float32)],
@@ -430,9 +419,9 @@ def strip_force_raw(xe, box_diag, trimask, n: int, tm: int, H: int,
     )
     return pl.pallas_call(
         kernel,
-        in_specs=[smem((1, 3)), vmem(), vmem()],
+        in_specs=[smem((1, 3)), vmem()],
         out_specs=vmem(),
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((3, n_ext), jnp.float32)],
         interpret=interpret,
-    )(box_diag.reshape(1, 3), trimask, xe)
+    )(box_diag.reshape(1, 3), xe)

@@ -1,36 +1,53 @@
-"""Flagship throughput workload: LJ fluid N=4000 on the fused Pallas kernel.
+"""Flagship throughput workload: LJ fluid N=4000 on the culled fused kernel.
 
-This is the bench.py configuration as a user-facing example: the zero-copy
-runner keeps all state in the kernel's (3, n_pad) layout and each
-`runner.run(state, n)` call is one compiled scan -- ~6,800 steps/s on one
-v5e chip (BENCH.md).
+This is the bench.py configuration as a user-facing example: the dense
+engine handles the violent lattice-melt equilibration (exact at every
+step), then the culled tile-pair engine -- spatial sort, tile-level Verlet
+list, whole BAOAB step fused in one Pallas kernel -- runs production at
+~12,500 steps/s on one v5e chip (BENCH.md).
 """
 
 import jax
+import numpy as np
 
 from chiron_tpu import units
 from chiron_tpu.profiling import Throughput
-from chiron_tpu.runtime import make_fast_lj_runner
+from chiron_tpu.runtime import make_culled_lj_runner, make_fast_lj_runner
 from chiron_tpu.testsystems import LennardJonesFluid
 
 
 def main():
     n = 4000
     fluid = LennardJonesFluid(nparticles=n, reduced_density=0.8)
-    runner = make_fast_lj_runner(
+    box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)
+
+    # equilibrate the lattice melt with the dense engine
+    fast = make_fast_lj_runner(
         potential=fluid.potential,
         n_particles=n,
         topology=fluid.topology,
         temperature=120.0 * units.kelvin,
         timestep=2.0 * units.femtoseconds,
     )
-    state = runner.init(
+    fs = fast.init(
         fluid.positions.value_in_unit_system(units.md_unit_system),
-        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        box,
         seed=1234,
     )
+    fs = fast.run(fs, 2000)
+    jax.block_until_ready(fs.x)
 
-    # compile + equilibrate
+    # production: culled tile-pair engine
+    runner = make_culled_lj_runner(
+        potential=fluid.potential,
+        n_particles=n,
+        topology=fluid.topology,
+        temperature=120.0 * units.kelvin,
+        timestep=2.0 * units.femtoseconds,
+    )
+    state = runner.init(np.asarray(fast.positions(fs)), box, seed=1234)
+
+    # compile + settle
     state = runner.run(state, 2000)
     jax.block_until_ready(state.x)
     print("equilibrated; energy:", float(runner.energy(state)), "kJ/mol")
@@ -45,6 +62,7 @@ def main():
         f"throughput: {tp.steps_per_second:.0f} steps/s "
         f"({tp.steps_per_minute/1e6:.2f}M steps/min)"
     )
+    runner.check(state)  # tile-skin invariants held throughout
 
 
 if __name__ == "__main__":
