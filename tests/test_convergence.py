@@ -82,3 +82,78 @@ def test_baoab_gamma_zero_conserves_energy():
     e1, ke = total_energy(state)
     # scale by the kinetic energy (total can be near zero)
     assert abs(e1 - e0) / max(abs(ke), 1.0) < 0.01
+
+
+@pytest.mark.slow
+def test_lj_fluid_rdf_structure():
+    """The equilibrated LJ liquid's g(r) shows the first peak near
+    2^(1/6) sigma and decays to ~1 at half-box (structure sanity for the
+    observable layer + the culled engine's production dynamics)."""
+    import numpy as np
+
+    from chiron_tpu import units
+    from chiron_tpu.observables import radial_distribution_function
+    from chiron_tpu.runtime import make_culled_lj_runner, make_fast_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    N = 2000
+    fluid = LennardJonesFluid(nparticles=N, reduced_density=0.8)
+    pos0 = fluid.positions.value_in_unit_system(units.md_unit_system)
+    box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)
+
+    fast = make_fast_lj_runner(potential=fluid.potential, n_particles=N,
+                               topology=fluid.topology,
+                               temperature=120.0 * units.kelvin, tm=256)
+    fs = fast.init(pos0, box, seed=5)
+    fs = fast.run(fs, 1500)
+    eq = np.asarray(fast.positions(fs))
+
+    runner = make_culled_lj_runner(
+        potential=fluid.potential, n_particles=N, topology=fluid.topology,
+        temperature=120.0 * units.kelvin, tm=128, tn=128,
+    )
+    st = runner.init(eq, box, seed=5)
+    frames = []
+    for _ in range(10):
+        st = runner.run(st, 200)
+        frames.append(np.asarray(runner.positions(st)))
+    runner.check(st)
+
+    r, g = radial_distribution_function(
+        np.stack(frames), np.asarray(box), n_bins=80
+    )
+    sigma = fluid.potential.sigma
+    peak_window = (r > 1.0 * sigma) & (r < 1.3 * sigma)
+    # dense liquid: strong first peak near r = 2^(1/6) sigma ~ 1.12 sigma
+    assert g[peak_window].max() > 2.0
+    # core exclusion
+    assert g[r < 0.85 * sigma].max() < 0.2
+    # decays toward unity at large r
+    assert abs(g[-8:].mean() - 1.0) < 0.25
+
+
+@pytest.mark.slow
+def test_displacement_acceptance_band():
+    """Displacement-move acceptance at standard conditions stays inside a
+    statistical regression band (autotune off; fixed sigma)."""
+    from chiron_tpu import units as u
+    from chiron_tpu.mcmc import MonteCarloDisplacementMove
+    from chiron_tpu.states import SamplerState, ThermodynamicState
+    from chiron_tpu.testsystems import HarmonicOscillator
+    from chiron_tpu.utils import PRNG
+
+    PRNG.set_seed(9)
+    ho = HarmonicOscillator()
+    ss = SamplerState(positions=ho.positions,
+                      current_PRNG_key=PRNG.get_random_key())
+    ts = ThermodynamicState(potential=ho.potential,
+                            temperature=300.0 * u.kelvin)
+    move = MonteCarloDisplacementMove(
+        displacement_sigma=0.1 * u.nanometer, number_of_moves=2000,
+        autotune=False,
+    )
+    ss, ts, _ = move.update(ss, ts, None)
+    acc = move.statistics["n_accepted"] / move.statistics["n_proposed"]
+    # HO at 300 K, sigma_move = 1 A: acceptance ~0.64 analytic-ish;
+    # band = +-4 sigma_binomial
+    assert 0.55 < acc < 0.75, acc
