@@ -25,9 +25,10 @@ def __getattr__(name):
     import importlib
 
     submodules = {
-        "analysis", "checkpoint", "integrators", "mcmc", "minimize",
-        "multistate", "neighbors", "ops", "parallel", "potential",
-        "profiling", "reporters", "runtime", "states", "testsystems",
+        "analysis", "checkpoint", "config", "integrators", "io", "mcmc",
+        "minimize", "multistate", "native", "neighbors", "observables",
+        "ops", "parallel", "potential", "profiling", "reporters",
+        "runtime", "states", "testsystems",
     }
     if name in submodules:
         return importlib.import_module(f".{name}", __name__)

@@ -866,3 +866,65 @@ def make_langevin_runner(
         temperature_md=T,
         pairs=pairs,
     )
+
+
+def make_lj_runner(
+    potential,
+    n_particles: int,
+    box_vectors=None,
+    temperature=300.0 * units.kelvin,
+    timestep=2.0 * units.femtoseconds,
+    collision_rate=1.0 / units.picoseconds,
+    topology=None,
+    engine: str = "auto",
+    **kwargs,
+):
+    """Pick the fastest LJ engine for the system size (BENCH.md domains).
+
+    ``engine='auto'`` selects by particle count and box geometry:
+
+    * N < ~2k, or a box under ~2.5 cutoffs wide, or non-uniform masses:
+      dense fused kernel (``make_fast_lj_runner``) -- exact at every step,
+      no skin assumptions (also the right engine for violent transients
+      like lattice melts).
+    * 2k <= N < ~20k: culled tile-pair engine (``make_culled_lj_runner``).
+    * N >= ~20k: banded runner (``make_band_lj_runner``) -- the culled
+      list exceeds scalar memory at this scale.
+
+    Explicit ``engine`` in {'dense', 'culled', 'strip', 'band'} overrides.
+    """
+    if topology is None:
+        topology = potential.topology
+    masses_host = np.asarray(topology.masses())
+    uniform = bool(np.allclose(masses_host, masses_host[0]))
+
+    if engine == "auto":
+        wide_enough = True
+        if box_vectors is not None:
+            box = np.asarray(units.strip_md(box_vectors, units.nanometer))
+            wide_enough = float(np.diagonal(box).min()) > 2.6 * (
+                potential.cutoff + 0.3
+            )
+        if n_particles < 2048 or not uniform or not wide_enough:
+            engine = "dense"
+        elif n_particles < 20_000:
+            engine = "culled"
+        else:
+            engine = "band"
+
+    common = dict(
+        potential=potential, n_particles=n_particles, topology=topology,
+        temperature=temperature, timestep=timestep,
+        collision_rate=collision_rate,
+    )
+    if engine == "dense":
+        return make_fast_lj_runner(**common, **kwargs)
+    if engine == "culled":
+        return make_culled_lj_runner(**common, **kwargs)
+    if engine == "strip":
+        return make_strip_lj_runner(**common, **kwargs)
+    if engine == "band":
+        return make_band_lj_runner(**common, **kwargs)
+    raise ValueError(
+        f"unknown engine {engine!r}; pick auto/dense/culled/strip/band"
+    )

@@ -194,3 +194,25 @@ def test_culled_runner_equilibrates_kinetic_temperature():
     assert abs(kT_kin - kT) / kT < 0.15
     E = float(runner.energy(state))
     assert np.isfinite(E)
+
+
+def test_engine_auto_selection():
+    from chiron_tpu import units
+    from chiron_tpu.runtime import make_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    small = LennardJonesFluid(nparticles=256, reduced_density=0.4)
+    r = make_lj_runner(small.potential, 256,
+                       box_vectors=small.box_vectors,
+                       topology=small.topology)
+    assert type(r).__name__ == "LangevinRunner"  # dense
+
+    mid = LennardJonesFluid(nparticles=4000, reduced_density=0.8)
+    r = make_lj_runner(mid.potential, 4000,
+                       box_vectors=mid.box_vectors,
+                       topology=mid.topology, tm=8, tn=16)
+    assert type(r).__name__ == "CulledRunner"
+
+    with pytest.raises(ValueError, match="unknown engine"):
+        make_lj_runner(mid.potential, 4000, topology=mid.topology,
+                       engine="warp")
