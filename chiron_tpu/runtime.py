@@ -572,12 +572,16 @@ def make_culled_lj_runner(
                     n_steps=n_steps, approx_recip=approx,
                 )
                 # tile-skin invariant: no PAIR of particles jointly
-                # closed more than the slack while the list was stale
+                # closed more than the slack while the list was stale.
+                # NaN positions would make every comparison False, so latch
+                # non-finiteness explicitly.
                 L = box_diag.reshape(3, 1)
                 dx = x1 - x3s
                 dx = dx - L * jnp.round(dx / L)
                 overflowed = overflowed | (
                     _top2_drift(dx, valid_lane) > md.slack
+                ) | ~jnp.all(
+                    jnp.isfinite(jnp.where(valid_lane, x1, 0.0))
                 )
                 return CullCarry(
                     x=x1, v=v1, F=F1,
@@ -779,12 +783,16 @@ def make_strip_lj_runner(
                     n_steps=n_steps, approx_recip=approx,
                 )
                 # tile-skin invariant: no PAIR jointly closed more than
-                # the slack while sorted order and band width were stale
+                # the slack while sorted order and band width were stale.
+                # NaN positions would make every comparison False, so latch
+                # non-finiteness explicitly.
                 L = box_diag.reshape(3, 1)
                 dxs = xe1[:, :n_pad] - x3s
                 dxs = dxs - L * jnp.round(dxs / L)
                 overflowed = overflowed | (
                     _top2_drift(dxs, valid_lane) > md.slack
+                ) | ~jnp.all(
+                    jnp.isfinite(jnp.where(valid_lane, xe1[:, :n_pad], 0.0))
                 )
                 return StripCarry(
                     x=xe1, v=v1, F=F1,

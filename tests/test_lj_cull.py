@@ -216,3 +216,29 @@ def test_engine_auto_selection():
     with pytest.raises(ValueError, match="unknown engine"):
         make_lj_runner(mid.potential, 4000, topology=mid.topology,
                        engine="warp")
+
+
+def test_nan_positions_latch_overflow():
+    """A NaN-poisoned state must latch overflowed (NaN comparisons would
+    otherwise silently pass the drift check)."""
+    import jax.numpy as jnp
+
+    from chiron_tpu import units
+    from chiron_tpu.runtime import make_culled_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=N, reduced_density=0.3)
+    runner = make_culled_lj_runner(
+        potential=fluid.potential, n_particles=N, topology=fluid.topology,
+        temperature=120.0 * units.kelvin, tm=8, tn=16, segment_steps=5,
+    )
+    state = runner.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=1,
+    )
+    # poison one coordinate
+    state.x = state.x.at[0, 5].set(jnp.nan)
+    state = runner.run(state, 5)
+    with pytest.raises(RuntimeError, match="invariant violated"):
+        runner.check(state)
