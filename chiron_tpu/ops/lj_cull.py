@@ -141,6 +141,7 @@ def build_tile_pairs(
     cutoff: float,
     slack: float,
     capacity: int,
+    unroll: int = 2,
 ) -> TilePairList:
     """Build the tile-pair list + constant shifts from current positions.
 
@@ -203,10 +204,11 @@ def build_tile_pairs(
     kf = keep & ~general
     gen_cnt = jnp.sum(kg, axis=1).astype(jnp.int32)            # (nr,)
     fast_cnt = jnp.sum(kf, axis=1).astype(jnp.int32)
-    # pad each row's fast segment to EVEN length so the kernel can process
-    # two entries per loop iteration (manual unroll); the null entry's col
-    # frame is parked half a box away in x, so every slot masks out
-    fast_pad = fast_cnt + (fast_cnt & 1)
+    # pad each row's fast segment to a multiple of ``unroll`` so the kernel
+    # can process several entries per loop iteration (manual unroll); null
+    # entries' col frames are parked ~1e18 away in x, so every slot masks
+    # out while all arithmetic stays finite
+    fast_pad = fast_cnt + (-fast_cnt) % unroll
     seg = jnp.stack([gen_cnt, fast_pad], axis=1).reshape(-1)   # (2nr,)
     ptr2 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(seg).astype(jnp.int32)]
@@ -234,19 +236,25 @@ def build_tile_pairs(
     cols = jnp.round(place(ci_flat)).astype(jnp.int32)
     rows = jnp.round(place(ri_flat)).astype(jnp.int32)
     ccx = place(ccx_flat)
-    # null fast-padding entries: one per odd-count row at slot
-    # base_fast + fast_cnt; col 0 with the frame center parked at 1e18,
+    # null fast-padding entries: up to unroll-1 per row at slots
+    # base_fast + fast_cnt + j; col 0 with the frame center parked at 1e18,
     # so the folded col x lands ~1e18 away from every row particle: the
     # cutoff mask zeroes every slot (and all arithmetic stays finite)
-    null_slot = jnp.where(
-        (fast_cnt & 1) == 1, base_fast[:, 0] + fast_cnt, capacity
-    )
-    Tn = (
-        null_slot[:, None] == jnp.arange(capacity)[None, :]
-    ).astype(jnp.float32)
     rowcx = rcen[0].astype(jnp.float32)
-    ccx = ccx + jnp.dot(jnp.full((nr,), 1.0e18, jnp.float32), Tn,
-                        preferred_element_type=jnp.float32)
+    if unroll > 1:
+        pad_cnt = fast_pad - fast_cnt                      # (nr,)
+        j = jnp.arange(unroll - 1, dtype=jnp.int32)
+        null_slots = jnp.where(
+            j[None, :] < pad_cnt[:, None],
+            base_fast + fast_cnt[:, None] + j[None, :],
+            capacity,
+        ).reshape(-1)                                      # (nr*(unroll-1),)
+        Tn = (
+            null_slots[:, None] == jnp.arange(capacity)[None, :]
+        ).astype(jnp.float32)
+        ccx = ccx + jnp.dot(
+            jnp.full((null_slots.shape[0],), 1.0e18, jnp.float32), Tn,
+            preferred_element_type=jnp.float32)
     return TilePairList(
         rows=rows.reshape(1, -1),
         cols=cols.reshape(1, -1),
@@ -266,16 +274,28 @@ def build_tile_pairs(
 def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                     n, n_pad, tm, tn,
                     Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
-                    sigma2, eps6x4, cutoff2, approx_recip):
+                    inv_sigma, eps_scale, cutoff2_s, approx_recip,
+                    unroll):
     """Row-grouped culled force pass: for each row tile, the row coordinate
     vectors are loaded/canonicalized once and the row accumulator carried
     across that row's list entries (single row RMW at the end); each entry
     RMWs only the col force slice.  General entries (rank overlap/padding)
     run a specialized inner loop with the full mask; fast entries use the
-    cutoff mask alone."""
+    cutoff mask alone.
+
+    Per-pair math runs in sigma-prescaled coordinates (x/sigma): the
+    (sigma^2/r^2) factor becomes the raw reciprocal, saving one
+    (tm, tn)-shaped multiply per pair; the per-axis prescale multiplies are
+    (tm, 1)/(1, tn)-shaped and amortize away.  y/z minimum image uses
+    trunc(2d/L) instead of floor(d/L + 1/2) -- one fewer vector op per
+    axis, valid because wrapped per-pair displacements lie in (-L, L)."""
     nr = n_pad // tm
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, tn), 1)
+    Lys = Ly * inv_sigma
+    Lzs = Lz * inv_sigma
+    two_inv_Lys = 2.0 * inv_Ly * (1.0 / inv_sigma)
+    two_inv_Lzs = 2.0 * inv_Lz * (1.0 / inv_sigma)
 
     def row_body(i, _):
         row0 = pl.multiple_of(i * tm, tm)
@@ -283,8 +303,11 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
         xi = x_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
         yi = x_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
         zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
-        # canonicalize row x into the row frame (per-row, amortized)
-        xi = xi - Lx * jnp.floor((xi - rcx) * inv_Lx + 0.5)
+        # canonicalize row x into the row frame, prescale (per-row,
+        # amortized)
+        xi = (xi - Lx * jnp.floor((xi - rcx) * inv_Lx + 0.5)) * inv_sigma
+        yi = yi * inv_sigma
+        zi = zi * inv_sigma
         rid = row0 + iota_r
 
         def make_inner(general: bool):
@@ -296,26 +319,27 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 xj = x_ref[0, pl.ds(col0, tn)].reshape(1, tn)
                 yj = x_ref[1, pl.ds(col0, tn)].reshape(1, tn)
                 zj = x_ref[2, pl.ds(col0, tn)].reshape(1, tn)
-                xj = xj - Lx * jnp.floor((xj - ccx) * inv_Lx + 0.5)
+                xj = (
+                    xj - Lx * jnp.floor((xj - ccx) * inv_Lx + 0.5)
+                ) * inv_sigma
                 # x via the common frame; y/z per-pair minimum image
                 dx = xi - xj
-                dy = yi - yj
-                dy = dy - Ly * jnp.floor(dy * inv_Ly + 0.5)
-                dz = zi - zj
-                dz = dz - Lz * jnp.floor(dz * inv_Lz + 0.5)
+                dy = yi - yj * inv_sigma
+                dy = dy - Lys * jnp.trunc(dy * two_inv_Lys)
+                dz = zi - zj * inv_sigma
+                dz = dz - Lzs * jnp.trunc(dz * two_inv_Lzs)
                 r2 = dx * dx + dy * dy + dz * dz
-                m = r2 < cutoff2
+                m = r2 < cutoff2_s
                 if general:
                     cid = col0 + iota_c
                     m = m & (cid > rid) & (cid < n)
-                r2s = jnp.maximum(r2, 1e-4 * sigma2)
+                r2s = jnp.maximum(r2, 1e-4)
                 if approx_recip:
                     inv = pl.reciprocal(r2s, approx=True)
                 else:
                     inv = 1.0 / r2s
-                i2 = sigma2 * inv
-                i6 = i2 * i2 * i2
-                # 24*eps applied once per pass on the accumulated force
+                i6 = inv * inv * inv
+                # 24*eps/sigma applied once per pass on the result
                 coef = jnp.where(m, (2.0 * i6 * i6 - i6) * inv, 0.0)
                 tx = coef * dx
                 ty = coef * dy
@@ -341,30 +365,31 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
         g1 = ptr2_ref[0, 2 * i + 1]
         g2 = ptr2_ref[0, 2 * i + 2]
         acc = jax.lax.fori_loop(g0, g1, make_inner(True), (z, z, z))
-        # fast segment is padded to even length (null entries mask out):
-        # two entries per iteration halves loop overhead and doubles the
-        # independent instruction streams in flight
+        # fast segment is padded to a multiple of ``unroll`` (null entries
+        # mask out): several entries per iteration cuts loop overhead and
+        # multiplies the independent instruction streams in flight
         inner_fast = make_inner(False)
 
-        def inner2(k2, acc):
-            acc = inner_fast(g1 + 2 * k2, acc)
-            return inner_fast(g1 + 2 * k2 + 1, acc)
+        def inner_u(k2, acc):
+            for u in range(unroll):
+                acc = inner_fast(g1 + unroll * k2 + u, acc)
+            return acc
 
-        fx, fy, fz = jax.lax.fori_loop(0, (g2 - g1) // 2, inner2, acc)
+        fx, fy, fz = jax.lax.fori_loop(0, (g2 - g1) // unroll, inner_u, acc)
         f_ref[0, pl.ds(row0, tm)] = f_ref[0, pl.ds(row0, tm)] + fx[:, 0]
         f_ref[1, pl.ds(row0, tm)] = f_ref[1, pl.ds(row0, tm)] + fy[:, 0]
         f_ref[2, pl.ds(row0, tm)] = f_ref[2, pl.ds(row0, tm)] + fz[:, 0]
         return _
 
     jax.lax.fori_loop(0, nr, row_body, 0)
-    f_ref[...] = eps6x4 * f_ref[...]
+    f_ref[...] = eps_scale * f_ref[...]
 
 
 def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                       approx_recip):
-    sigma2 = sigma * sigma
-    eps6x4 = 24.0 * epsilon
-    cutoff2 = cutoff * cutoff
+                       approx_recip, unroll):
+    inv_sigma = 1.0 / sigma
+    eps_scale = 24.0 * epsilon / sigma
+    cutoff2_s = (cutoff / sigma) ** 2
 
     def kernel(box_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                pos_ref, force_ref):
@@ -374,7 +399,7 @@ def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             pos_ref, force_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
             n, n_pad, tm, tn,
             Lx, 1.0 / Lx, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
-            sigma2, eps6x4, cutoff2, approx_recip,
+            inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
         )
 
     return kernel
@@ -383,18 +408,18 @@ def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "tm", "tn", "sigma", "epsilon", "cutoff",
-                     "approx_recip", "interpret"),
+                     "approx_recip", "interpret", "unroll"),
 )
 def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
                      tn: int, sigma: float, epsilon: float, cutoff: float,
-                     approx_recip: bool, interpret: bool):
+                     approx_recip: bool, interpret: bool, unroll: int = 2):
     """Standalone culled force (oracle-parity surface; the fused MD kernel
     below is the production path)."""
     n_pad = pos3.shape[1]
     capacity = pairs.cols.shape[1]
     nr = n_pad // tm
     kernel = _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                                approx_recip)
+                                approx_recip, unroll)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -414,10 +439,10 @@ def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
 
 
 def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                    dt, a_coef, b_coef, approx_recip):
-    sigma2 = sigma * sigma
-    eps6x4 = 24.0 * epsilon
-    cutoff2 = cutoff * cutoff
+                    dt, a_coef, b_coef, approx_recip, unroll):
+    inv_sigma = 1.0 / sigma
+    eps_scale = 24.0 * epsilon / sigma
+    cutoff2_s = (cutoff / sigma) ** 2
 
     def kernel(box_ref, seed_ref, off_ref, cols_ref, ccx_ref, ptr2_ref,
                rowcx_ref, minv_ref, sigv_ref,
@@ -491,7 +516,7 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
             n, n_pad, tm, tn,
             Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
-            sigma2, eps6x4, cutoff2, approx_recip,
+            inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
         )
 
     return kernel
@@ -501,17 +526,17 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
     jax.jit,
     static_argnames=("n", "n_steps", "tm", "tn", "sigma", "epsilon",
                      "cutoff", "dt", "a_coef", "b_coef", "approx_recip",
-                     "interpret"),
+                     "interpret", "unroll"),
 )
 def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
                   minv, sigv, n: int, n_steps: int, tm: int, tn: int,
                   sigma: float, epsilon: float, cutoff: float, dt: float,
                   a_coef: float, b_coef: float, approx_recip: bool,
-                  interpret: bool):
+                  interpret: bool, unroll: int = 2):
     n_pad = x3.shape[1]
     capacity = pairs.rows.shape[1]
     kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                             dt, a_coef, b_coef, approx_recip)
+                             dt, a_coef, b_coef, approx_recip, unroll)
     full = lambda s: (0, 0)
     smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
@@ -554,7 +579,8 @@ class CulledLJMD:
 
     def __init__(self, n, sigma, epsilon, cutoff, masses_lane, dt, gamma, kT,
                  tm: int = 128, tn: int = 128, nslab: int = None,
-                 slack: float = 0.2, n_pad: int = None, interpret=None):
+                 slack: float = 0.2, n_pad: int = None, interpret=None,
+                 unroll: int = 4):
         self.n = n
         self.sigma, self.epsilon, self.cutoff = (
             float(sigma), float(epsilon), float(cutoff)
@@ -564,6 +590,7 @@ class CulledLJMD:
         self.b = float(jnp.sqrt(1.0 - jnp.exp(-2.0 * gamma * dt)))
         self.kT = float(kT)
         self.slack = float(slack)
+        self.unroll = int(unroll)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -586,7 +613,7 @@ class CulledLJMD:
     def build_pairs(self, pos3, box_diag, capacity: int) -> TilePairList:
         return build_tile_pairs(
             pos3, self.n, self.tm, self.tn, box_diag, self.cutoff,
-            self.slack, capacity,
+            self.slack, capacity, unroll=self.unroll,
         )
 
     def force(self, pos3, box_diag, pairs: TilePairList,
@@ -594,6 +621,7 @@ class CulledLJMD:
         return culled_force_raw(
             pos3, box_diag, pairs, self.n, self.tm, self.tn, self.sigma,
             self.epsilon, self.cutoff, approx_recip, self.interpret,
+            unroll=self.unroll,
         )
 
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
@@ -609,7 +637,7 @@ class CulledLJMD:
             pairs, self.minv, self.sigv,
             self.n, n_steps, self.tm, self.tn, self.sigma, self.epsilon,
             self.cutoff, self.dt, self.a, self.b, approx_recip,
-            self.interpret,
+            self.interpret, unroll=self.unroll,
         )
         v_std = w_out + (0.5 * self.dt) * f_out * self.minv
         return x3, v_std, f_out

@@ -130,7 +130,7 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
         rep = PartitionSpec("replica")
         local_R = R // n_dev
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         def propagate_local(x, v, keys, kTs, params_r, n_steps):
             if local_R == 1:
@@ -150,7 +150,7 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
                 mesh=mesh,
                 in_specs=(rep, rep, rep, rep, rep),
                 out_specs=(rep, rep, rep),
-                check_rep=False,
+                check_vma=False,
             )
             return f(x, v, keys, kTs, params_r)
 

@@ -20,6 +20,7 @@ axes (replica x spatial).
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
 from functools import partial
 from typing import Callable, Optional
 
@@ -31,45 +32,17 @@ from jax.sharding import Mesh, PartitionSpec
 from ..ops.lj_dense import LJDensePallas
 
 
-def make_sharded_lj_force(
-    mesh: Mesh,
-    n: int,
-    sigma: float,
-    epsilon: float,
-    cutoff: float,
-    axis_name: str = "replica",
-    tm: int = 256,
-    interpret: Optional[bool] = None,
-) -> Callable:
-    """Build ``force(pos3, box_diag) -> force3`` with the particle axis
-    sharded over ``mesh``.
+def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
+                         interpret):
+    """Per-device fused kernel: (3, rows_per_dev) row slab vs all columns.
 
-    ``pos3`` is the (3, n_pad) layout with ``n_pad == force.n_pad`` (use
-    ``force.op.pad_positions``, which is built with the mesh-compatible
-    padding).  The returned (3, n_pad) force carries its particle axis
-    sharded across the mesh; slice ``[:, :n].T`` for the host view.
+    Returns ``kernel_fn(rows3, pos3_full, box_diag, row_offset) -> (3,
+    rows_per_dev) forces`` -- the building block shared by the sharded
+    force and the spatial MD runner.
     """
-    from jax.experimental.shard_map import shard_map
-
-    n_dev = mesh.devices.size
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    # Padding must satisfy both the tile and the per-device slab constraints;
-    # pass it to the op so its pad/unpad helpers agree with the sharded shape.
-    import math
-
-    base_pad = ((n + tm - 1) // tm) * tm
-    n_pad = int(math.ceil(base_pad / (n_dev * tm)) * n_dev * tm)
-    op = LJDensePallas(n, sigma, epsilon, cutoff, tm=tm, tn=tm,
-                       triangle=False, interpret=interpret, n_pad=n_pad)
-    n_pad = op.n_pad
-    rows_per_dev = n_pad // n_dev
-
     sigma2, eps4, cutoff2 = sigma * sigma, 4.0 * epsilon, cutoff * cutoff
 
     def kernel_fn(rows3, pos3, box_diag, row_offset):
-        """(3, rows_per_dev) row slab vs all columns, fused."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -145,6 +118,50 @@ def make_sharded_lj_force(
             interpret=interpret,
         )(rows3, pos3, box_diag, row_offset)
 
+    return kernel_fn
+
+
+def _spatial_padding(n: int, n_dev: int, tm: int) -> int:
+    import math
+
+    base_pad = ((n + tm - 1) // tm) * tm
+    return int(math.ceil(base_pad / (n_dev * tm)) * n_dev * tm)
+
+
+def make_sharded_lj_force(
+    mesh: Mesh,
+    n: int,
+    sigma: float,
+    epsilon: float,
+    cutoff: float,
+    axis_name: str = "replica",
+    tm: int = 256,
+    interpret: Optional[bool] = None,
+) -> Callable:
+    """Build ``force(pos3, box_diag) -> force3`` with the particle axis
+    sharded over ``mesh``.
+
+    ``pos3`` is the (3, n_pad) layout with ``n_pad == force.n_pad`` (use
+    ``force.op.pad_positions``, which is built with the mesh-compatible
+    padding).  The returned (3, n_pad) force carries its particle axis
+    sharded across the mesh; slice ``[:, :n].T`` for the host view.
+    """
+    from jax import shard_map
+
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Padding must satisfy both the tile and the per-device slab constraints;
+    # pass it to the op so its pad/unpad helpers agree with the sharded shape.
+    n_pad = _spatial_padding(n, n_dev, tm)
+    op = LJDensePallas(n, sigma, epsilon, cutoff, tm=tm, tn=tm,
+                       triangle=False, interpret=interpret, n_pad=n_pad)
+    n_pad = op.n_pad
+    rows_per_dev = n_pad // n_dev
+    kernel_fn = _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma,
+                                     epsilon, cutoff, interpret)
+
     P = PartitionSpec
 
     def sharded(pos3, box_diag):
@@ -158,7 +175,7 @@ def make_sharded_lj_force(
             mesh=mesh,
             in_specs=(P(None, axis_name), P(), P()),
             out_specs=P(None, axis_name),
-            check_rep=False,
+            check_vma=False,
         )
         return f(pos3, pos3, box_diag)
 
@@ -172,3 +189,207 @@ def make_sharded_lj_force(
     force.n_pad = n_pad
     force.rows_per_dev = rows_per_dev
     return force
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "v", "F", "step", "box_diag", "key"],
+    meta_fields=[],
+)
+@_dataclass
+class SpatialCarry:
+    """Carry of the spatially-sharded Langevin runner (global arrays; the
+    particle axis is re-sharded by ``shard_map`` at every ``run`` call)."""
+
+    x: jnp.ndarray          # (3, n_pad)
+    v: jnp.ndarray          # (3, n_pad)
+    F: jnp.ndarray          # (3, n_pad)
+    step: jnp.ndarray       # (1, 1) int32 cumulative steps (noise counter)
+    box_diag: jnp.ndarray   # (1, 3)
+    key: jnp.ndarray        # base PRNG key (fold_in(step) per O-step)
+
+
+def make_spatial_lj_runner(
+    mesh: Mesh,
+    potential,
+    n_particles: int,
+    temperature,
+    timestep,
+    collision_rate=None,
+    topology=None,
+    axis_name: str = "spatial",
+    tm: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """BAOAB Langevin with the particle axis sharded across a device mesh.
+
+    The single-replica large-N engine (SURVEY.md section 5 "long-context
+    analogue"): each device owns a contiguous row slab of the particle
+    axis, integrates its slab, and the whole step is one ``shard_map``-ed
+    ``lax.scan`` -- the only inter-chip traffic is ONE ``all_gather`` of
+    the (3, n_pad) positions per step (1.5 MB at N=131k: microseconds over
+    ICI), so scaling to a pod slice is compute-bound.
+
+    O-step noise is drawn from ``fold_in(key, step)`` over the FULL
+    particle axis and sliced per device, so the noise stream is identical
+    across mesh sizes: a 1-device and an 8-device run follow the same
+    trajectory up to float rounding (XLA may fuse the kick arithmetic
+    differently per shard shape, so exact bitwise parity is not promised).
+
+    Masses may be heterogeneous (no spatial sort -- particle order is
+    preserved).  Returns a runner with init/run/positions/velocities/
+    energy, like the single-chip engines (chiron_tpu.runtime).
+    """
+    from jax import shard_map
+
+    from .. import units
+
+    if topology is None:
+        topology = potential.topology
+    n = n_particles
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    dt = units.strip_md(timestep, units.picosecond)
+    if collision_rate is None:
+        gamma = 1.0
+    else:
+        gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+    a_coef = float(np.exp(-gamma * dt))
+    b_coef = float(np.sqrt(1.0 - np.exp(-2.0 * gamma * dt)))
+
+    n_pad = _spatial_padding(n, n_dev, tm)
+    rows_per_dev = n_pad // n_dev
+    op = LJDensePallas(n, potential.sigma, potential.epsilon,
+                       potential.cutoff, tm=tm, tn=tm, triangle=False,
+                       interpret=interpret, n_pad=n_pad)
+    kernel_fn = _make_row_slab_force(
+        n, n_pad, rows_per_dev, tm, potential.sigma, potential.epsilon,
+        potential.cutoff, interpret,
+    )
+    masses = np.asarray(topology.masses(), dtype=np.float32)
+    m_pad = np.ones((1, n_pad), np.float32)
+    m_pad[0, :n] = masses
+    minv_full = jnp.asarray(1.0 / m_pad)
+    sigv_full = jnp.sqrt(kT / jnp.asarray(m_pad))
+
+    P = PartitionSpec
+
+    def _chain(n_steps: int):
+        def per_device(x_rows, v_rows, F_rows, minv_r, sigv_r, step0,
+                       box_diag, key):
+            idx = jax.lax.axis_index(axis_name)
+            off = (idx * rows_per_dev).astype(jnp.int32)
+            off11 = off.reshape(1, 1)
+            Lcol = box_diag.reshape(3, 1)
+
+            def body(carry, s):
+                x_rows, v_rows, F_rows = carry
+                step = step0[0, 0] + s
+                # B (half kick) + A (half drift)
+                v1 = v_rows + (0.5 * dt) * F_rows * minv_r
+                x1 = x_rows + (0.5 * dt) * v1
+                # O: noise over the FULL axis, sliced per device, so the
+                # stream is independent of the mesh size
+                nkey = jax.random.fold_in(key, step)
+                noise = jax.random.normal(nkey, (3, n_pad), jnp.float32)
+                noise_r = jax.lax.dynamic_slice(
+                    noise, (0, off), (3, rows_per_dev)
+                )
+                v2 = a_coef * v1 + b_coef * sigv_r * noise_r
+                # A (half drift) + wrap
+                x2 = x1 + (0.5 * dt) * v2
+                x2 = x2 - jnp.floor(x2 / Lcol) * Lcol
+                # gather the new positions, recompute this slab's forces
+                x_full = jax.lax.all_gather(
+                    x2, axis_name, axis=1, tiled=True
+                )
+                F_new = kernel_fn(x2, x_full, box_diag, off11)
+                # B (half kick)
+                v3 = v2 + (0.5 * dt) * F_new * minv_r
+                return (x2, v3, F_new), None
+
+            (x_rows, v_rows, F_rows), _ = jax.lax.scan(
+                body, (x_rows, v_rows, F_rows), jnp.arange(n_steps)
+            )
+            return x_rows, v_rows, F_rows
+
+        return shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(None, axis_name),
+                      P(None, axis_name), P(None, axis_name),
+                      P(None, axis_name), P(), P(), P()),
+            out_specs=(P(None, axis_name), P(None, axis_name),
+                       P(None, axis_name)),
+            check_vma=False,
+        )
+
+    def _force_full(x_full, box_diag):
+        def per_device(x_rows, x_all, box_diag):
+            idx = jax.lax.axis_index(axis_name)
+            off11 = (idx * rows_per_dev).astype(jnp.int32).reshape(1, 1)
+            return kernel_fn(x_rows, x_all, box_diag, off11)
+
+        f = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(None, axis_name), P(), P()),
+            out_specs=P(None, axis_name), check_vma=False,
+        )
+        return f(x_full, x_full, box_diag)
+
+    class SpatialRunner:
+        def __init__(self):
+            self.op = op
+            self.n_pad = n_pad
+            self.rows_per_dev = rows_per_dev
+            self._chains = {}
+
+        def init(self, positions, box_vectors, seed: int = 0,
+                 velocities=None) -> SpatialCarry:
+            x3 = op.pad_positions(jnp.asarray(positions, jnp.float32))
+            box_diag = jnp.diagonal(
+                jnp.asarray(box_vectors, jnp.float32)
+            ).reshape(1, 3)
+            key = jax.random.PRNGKey(seed)
+            vkey, key = jax.random.split(key)
+            if velocities is None:
+                v3 = sigv_full * jax.random.normal(
+                    vkey, (3, n_pad), jnp.float32
+                )
+            else:
+                v3 = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(
+                    jnp.asarray(velocities, jnp.float32).T
+                )
+            F3 = jax.jit(_force_full)(x3, box_diag)
+            return SpatialCarry(
+                x=x3, v=v3, F=F3,
+                step=jnp.zeros((1, 1), jnp.int32),
+                box_diag=box_diag, key=key,
+            )
+
+        def run(self, state: SpatialCarry, n_steps: int) -> SpatialCarry:
+            if n_steps not in self._chains:
+                self._chains[n_steps] = jax.jit(_chain(n_steps))
+            x, v, F = self._chains[n_steps](
+                state.x, state.v, state.F, minv_full, sigv_full,
+                state.step, state.box_diag, state.key,
+            )
+            return SpatialCarry(
+                x=x, v=v, F=F, step=state.step + n_steps,
+                box_diag=state.box_diag, key=state.key,
+            )
+
+        def positions(self, state: SpatialCarry):
+            return state.x[:, :n].T
+
+        def velocities(self, state: SpatialCarry):
+            return state.v[:, :n].T
+
+        def energy(self, state: SpatialCarry):
+            # one-shot diagnostic through the dense op (O(N^2) single chip)
+            return op.force_energy_t(state.x, state.box_diag)[1]
+
+    return SpatialRunner()

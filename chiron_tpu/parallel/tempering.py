@@ -348,7 +348,7 @@ class ParallelTemperingSampler:
 
     def _build_sharded_propagator(self):
         """shard_map(vmap(chain)) over the replica axis of the mesh."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = self.mesh
         P = PartitionSpec
@@ -394,7 +394,7 @@ class ParallelTemperingSampler:
                 mesh=mesh,
                 in_specs=in_specs,
                 out_specs=out_specs,
-                check_rep=False,
+                check_vma=False,
             )
             return f(x, v, keys, box, list_state, kTs)
 

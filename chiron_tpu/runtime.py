@@ -378,12 +378,20 @@ def _top2_drift(dxs, valid_lane):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["x", "v", "F", "step", "box_diag", "overflowed"],
+    data_fields=["x", "v", "F", "step", "box_diag", "overflowed", "pairs",
+                 "x_anchor"],
     meta_fields=[],
 )
 @dataclass
 class CullCarry:
-    """Carry of the culled tile-pair runner ((x-slab, y)-sorted layout)."""
+    """Carry of the culled tile-pair runner (spatially sorted layout).
+
+    ``pairs`` is the live tile-pair Verlet list and ``x_anchor`` the
+    positions it was built from: the list stays valid while the top-2
+    joint drift from the anchor is under the slack (checked every
+    segment), which lets the runner re-sort and rebuild on a cadence
+    instead of every segment.
+    """
 
     x: jnp.ndarray          # (3, n_pad)
     v: jnp.ndarray          # (3, n_pad)
@@ -391,6 +399,8 @@ class CullCarry:
     step: jnp.ndarray       # (1, 1) int32 cumulative step count (noise ctr)
     box_diag: jnp.ndarray   # (1, 3)
     overflowed: jnp.ndarray  # () bool: list capacity/shift/drift violation
+    pairs: object           # TilePairList (device arrays)
+    x_anchor: jnp.ndarray   # (3, n_pad) positions at last list rebuild
 
 
 def make_culled_lj_runner(
@@ -407,20 +417,28 @@ def make_culled_lj_runner(
     sort_mode: str = "x",
     seed_default: int = 0,
     exact_forces: bool = False,
+    sort_every: int = 4,
+    rebuild_every: int = 1,
+    unroll: int = 4,
 ):
     """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
 
-    Every ``segment_steps`` steps the state is re-sorted by the (x-slab, y)
-    key and the tile-pair Verlet list rebuilt; the segment itself is ONE
-    fused Pallas call (BAOAB + culled force, state resident in VMEM).  The
-    whole ``run(state, n)`` is a single ``lax.scan`` over segments -- one
-    XLA dispatch regardless of step count (ops/lj_cull.py for the kernel
-    design and exactness argument).
+    Each ``segment_steps``-step segment is ONE fused Pallas call (BAOAB +
+    culled force, state resident in VMEM).  The whole ``run(state, n)`` is
+    a single ``lax.scan`` over segments -- one XLA dispatch regardless of
+    step count (ops/lj_cull.py for the kernel design and exactness
+    argument).
 
-    The per-segment drift check turns the tile-skin assumption into a
-    runtime invariant: if any particle moves more than slack/2 within a
-    segment, ``state.overflowed`` latches and results must be discarded
-    (raise in ``check()``).
+    The tile-pair Verlet list is rebuilt every ``rebuild_every`` segments
+    and the state re-sorted by the spatial key every ``sort_every``
+    rebuilds (both via ``lax.cond`` inside the scan): ``lax.sort`` and the
+    list build each cost hundreds of microseconds on TPU, comparable to
+    several segments of dynamics.  Correctness never depends on the
+    cadence -- tile bboxes are computed from CURRENT positions at every
+    rebuild (sort staleness only fattens them), and the cumulative top-2
+    drift from the rebuild anchor is checked against the slack EVERY
+    segment: if the list could have gone stale, ``state.overflowed``
+    latches and ``check()`` raises.
 
     NOTE: like the band runner, sorting permutes particle identity --
     requires identical masses; ``positions(state)`` returns internal order.
@@ -452,7 +470,7 @@ def make_culled_lj_runner(
         n_particles, potential.sigma, potential.epsilon, potential.cutoff,
         masses_lane=np.asarray(masses_host, dtype=np.float32),
         dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
-        n_pad=common_pad,
+        n_pad=common_pad, unroll=unroll,
     )
     n = n_particles
     n_pad = md.n_pad
@@ -513,9 +531,10 @@ def make_culled_lj_runner(
             x3s, _ = sort_by_key(key, x3, ())
             # capacity: exact upper bound first, then tight + headroom
             nr, nc = n_pad // md.tm, n_pad // md.tn
+            cap_max = nr * nc + nr * md.unroll  # + worst-case null padding
             probe = build_tile_pairs(
                 x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                capacity=nr * nc,
+                capacity=cap_max, unroll=md.unroll,
             )
             if bool(probe.overflowed):
                 raise ValueError(
@@ -526,10 +545,10 @@ def make_culled_lj_runner(
             # 2x headroom: ordered (e.g. lattice) initial configurations
             # disorder into liquids with fatter tile bboxes
             count = int(probe.count[0, 0])
-            self.capacity = min(nr * nc, int(count * 2.0) + 128)
+            self.capacity = min(cap_max, int(count * 2.0) + 128)
             pairs = build_tile_pairs(
                 x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                capacity=self.capacity,
+                capacity=self.capacity, unroll=md.unroll,
             )
             key0 = jax.random.PRNGKey(seed)
             _, vkey = jax.random.split(key0)
@@ -540,7 +559,9 @@ def make_culled_lj_runner(
                 x=x3s, v=v3, F=F3,
                 step=jnp.zeros((1, 1), jnp.int32),
                 box_diag=box_diag,
-                overflowed=jnp.asarray(False),
+                overflowed=pairs.overflowed,
+                pairs=pairs,
+                x_anchor=x3s,
             )
 
         def _segment_body(self, n_steps: int):
@@ -553,17 +574,38 @@ def make_culled_lj_runner(
             def body(carry: CullCarry, _):
                 box_diag = carry.box_diag
                 Lx = box_diag[0, 0]
-                skey = slab_y_key(carry.x, n, nslab, Lx)
-                x3s, payload = sort_by_key(
-                    skey, carry.x,
-                    (carry.v[0], carry.v[1], carry.v[2],
-                     carry.F[0], carry.F[1], carry.F[2]),
+                # sort/rebuild cadence from the cumulative step counter
+                # (rem segments shift the phase harmlessly -- the cadence
+                # is a heuristic; the drift latch guards correctness)
+                seg_i = carry.step[0, 0] // segment_steps
+                do_sort = (seg_i % (rebuild_every * sort_every)) == 0
+                do_rebuild = do_sort | ((seg_i % rebuild_every) == 0)
+
+                def sort_branch(xvF):
+                    x, v, F = xvF
+                    skey = slab_y_key(x, n, nslab, Lx)
+                    xs, payload = sort_by_key(
+                        skey, x,
+                        (v[0], v[1], v[2], F[0], F[1], F[2]),
+                    )
+                    return xs, jnp.stack(payload[0:3]), jnp.stack(payload[3:6])
+
+                x3s, v3, F3 = jax.lax.cond(
+                    do_sort, sort_branch, lambda t: t,
+                    (carry.x, carry.v, carry.F),
                 )
-                v3 = jnp.stack(payload[0:3])
-                F3 = jnp.stack(payload[3:6])
-                pairs = build_tile_pairs(
-                    x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                    capacity=capacity,
+
+                def rebuild_branch(args):
+                    x = args[0]
+                    return build_tile_pairs(
+                        x, n, md.tm, md.tn, box_diag[0], md.cutoff,
+                        md.slack, capacity=capacity, unroll=md.unroll,
+                    ), x
+
+                pairs, x_anchor = jax.lax.cond(
+                    do_rebuild, rebuild_branch,
+                    lambda args: (args[1], args[2]),
+                    (x3s, carry.pairs, carry.x_anchor),
                 )
                 overflowed = carry.overflowed | pairs.overflowed
                 x1, v1, F1 = md.run_segment(
@@ -571,12 +613,12 @@ def make_culled_lj_runner(
                     seed=jnp.int32(seed), step_offset=carry.step[0, 0],
                     n_steps=n_steps, approx_recip=approx,
                 )
-                # tile-skin invariant: no PAIR of particles jointly
-                # closed more than the slack while the list was stale.
+                # tile-skin invariant: no PAIR of particles jointly closed
+                # more than the slack since the list was built (anchor).
                 # NaN positions would make every comparison False, so latch
                 # non-finiteness explicitly.
                 L = box_diag.reshape(3, 1)
-                dx = x1 - x3s
+                dx = x1 - x_anchor
                 dx = dx - L * jnp.round(dx / L)
                 overflowed = overflowed | (
                     _top2_drift(dx, valid_lane) > md.slack
@@ -588,6 +630,8 @@ def make_culled_lj_runner(
                     step=carry.step + n_steps,
                     box_diag=box_diag,
                     overflowed=overflowed,
+                    pairs=pairs,
+                    x_anchor=x_anchor,
                 ), None
 
             self._bodies[cache_key] = body

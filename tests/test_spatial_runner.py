@@ -1,0 +1,101 @@
+"""Spatially-sharded Langevin runner: fast-tier 2-device smoke + parity.
+
+The spatial runner shards the particle axis across the mesh (one
+``all_gather`` of positions per step).  The O-step noise is drawn over the
+full particle axis and sliced per device, so a 1-device and a 2-device run
+follow the same trajectory up to float rounding (XLA may fuse the kick
+arithmetic differently per shard shape) -- the test asserts tight parity
+between mesh sizes, force parity with the dense oracle, plus a finite
+energy.  Runs in a subprocess with a forced 2-device CPU topology (the
+no-cluster multi-device mechanism, SURVEY.md section 4).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_cpu_devices(script: str, n_devices: int, timeout=900) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    return json.loads(result.stdout.strip().splitlines()[-1])
+
+
+_SCRIPT = textwrap.dedent(
+    """
+    import json
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    assert jax.device_count() == 2, jax.devices()
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel.spatial import make_spatial_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=250, reduced_density=0.4)
+    pos = fluid.positions.value_in_unit_system(units.md_unit_system)
+    box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)
+
+    def trajectory(n_devices):
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("spatial",))
+        r = make_spatial_lj_runner(
+            mesh, fluid.potential, 250,
+            temperature=120.0 * units.kelvin,
+            timestep=2.0 * units.femtoseconds,
+            topology=fluid.topology, tm=8,
+        )
+        st = r.init(pos, box, seed=42)
+        st = r.run(st, 10)
+        return r, st
+
+    r1, s1 = trajectory(1)
+    r2, s2 = trajectory(2)
+    x1, v1 = np.asarray(s1.x), np.asarray(s1.v)
+    x2, v2 = np.asarray(s2.x), np.asarray(s2.v)
+    xerr = float(np.max(np.abs(x1 - x2)))
+    verr = float(np.max(np.abs(v1 - v2)))
+
+    # force parity vs the dense-op oracle at the final configuration
+    F_ref = r2.op.force_energy_t(s2.x, s2.box_diag)[0]
+    ferr = float(jnp.max(jnp.abs(s2.F - F_ref)))
+    fscale = float(jnp.max(jnp.abs(F_ref))) or 1.0
+
+    E = float(r2.energy(s2))
+    out_sharding = str(s2.F.sharding.spec) if hasattr(
+        s2.F.sharding, "spec") else ""
+    print(json.dumps({
+        "xerr": xerr,
+        "verr": verr,
+        "force_relerr": ferr / fscale,
+        "finite": bool(np.isfinite(E)),
+        "out_sharding": out_sharding,
+    }))
+    """
+)
+
+
+def test_spatial_runner_2dev_parity():
+    out = _run_on_cpu_devices(_SCRIPT, n_devices=2, timeout=600)
+    # 10 steps of rounding-level divergence stays under ~1e-6 nm
+    assert out["xerr"] < 1e-6, out
+    assert out["verr"] < 1e-4, out
+    assert out["force_relerr"] < 1e-5, out
+    assert out["finite"], out
+    assert "spatial" in out["out_sharding"], out
