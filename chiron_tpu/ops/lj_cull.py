@@ -44,6 +44,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TWO_PI = 6.2831853071795864
 
+# above this (entries x capacity) element count the list builder switches
+# from the one-hot-matmul placement to an XLA scatter (see build_tile_pairs)
+_ONEHOT_LIMIT = 64 << 20
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -141,7 +145,6 @@ def build_tile_pairs(
     cutoff: float,
     slack: float,
     capacity: int,
-    unroll: int = 2,
 ) -> TilePairList:
     """Build the tile-pair list + constant shifts from current positions.
 
@@ -204,12 +207,7 @@ def build_tile_pairs(
     kf = keep & ~general
     gen_cnt = jnp.sum(kg, axis=1).astype(jnp.int32)            # (nr,)
     fast_cnt = jnp.sum(kf, axis=1).astype(jnp.int32)
-    # pad each row's fast segment to a multiple of ``unroll`` so the kernel
-    # can process several entries per loop iteration (manual unroll); null
-    # entries' col frames are parked ~1e18 away in x, so every slot masks
-    # out while all arithmetic stays finite
-    fast_pad = fast_cnt + (-fast_cnt) % unroll
-    seg = jnp.stack([gen_cnt, fast_pad], axis=1).reshape(-1)   # (2nr,)
+    seg = jnp.stack([gen_cnt, fast_cnt], axis=1).reshape(-1)   # (2nr,)
     ptr2 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(seg).astype(jnp.int32)]
     )
@@ -221,14 +219,25 @@ def build_tile_pairs(
     base_fast = ptr2[1:2 * nr:2][:, None]
     slot = jnp.where(kg, base_gen + gen_rank, base_fast + fast_rank)
     slot = jnp.where(keep, slot, capacity)  # dropped entries -> no slot
-    # one-hot scatter via matmul: T[e, k] = entry e lands in output slot k
-    T = (
-        slot.reshape(-1)[:, None] == jnp.arange(capacity)[None, :]
-    ).astype(jnp.float32)
+    # ordered placement: one-hot matmul (MXU, ~free) while the (entries x
+    # capacity) matrix stays small; XLA scatter beyond that -- at N=65k the
+    # one-hot would be (131k x 13k) = 6.8 GB, while scatter is O(entries)
+    use_scatter = nr * nc * capacity > _ONEHOT_LIMIT
+    if use_scatter:
+        sl = slot.reshape(-1)
 
-    def place(vals_flat):
-        return jnp.dot(vals_flat.astype(jnp.float32), T,
-                       preferred_element_type=jnp.float32)
+        def place(vals_flat):
+            return jnp.zeros((capacity,), jnp.float32).at[sl].set(
+                vals_flat.astype(jnp.float32), mode="drop"
+            )
+    else:
+        T = (
+            slot.reshape(-1)[:, None] == jnp.arange(capacity)[None, :]
+        ).astype(jnp.float32)
+
+        def place(vals_flat):
+            return jnp.dot(vals_flat.astype(jnp.float32), T,
+                           preferred_element_type=jnp.float32)
 
     ci_flat = jnp.broadcast_to(ci, (nr, nc)).reshape(-1)
     ri_flat = jnp.broadcast_to(ri, (nr, nc)).reshape(-1)
@@ -236,25 +245,7 @@ def build_tile_pairs(
     cols = jnp.round(place(ci_flat)).astype(jnp.int32)
     rows = jnp.round(place(ri_flat)).astype(jnp.int32)
     ccx = place(ccx_flat)
-    # null fast-padding entries: up to unroll-1 per row at slots
-    # base_fast + fast_cnt + j; col 0 with the frame center parked at 1e18,
-    # so the folded col x lands ~1e18 away from every row particle: the
-    # cutoff mask zeroes every slot (and all arithmetic stays finite)
     rowcx = rcen[0].astype(jnp.float32)
-    if unroll > 1:
-        pad_cnt = fast_pad - fast_cnt                      # (nr,)
-        j = jnp.arange(unroll - 1, dtype=jnp.int32)
-        null_slots = jnp.where(
-            j[None, :] < pad_cnt[:, None],
-            base_fast + fast_cnt[:, None] + j[None, :],
-            capacity,
-        ).reshape(-1)                                      # (nr*(unroll-1),)
-        Tn = (
-            null_slots[:, None] == jnp.arange(capacity)[None, :]
-        ).astype(jnp.float32)
-        ccx = ccx + jnp.dot(
-            jnp.full((null_slots.shape[0],), 1.0e18, jnp.float32), Tn,
-            preferred_element_type=jnp.float32)
     return TilePairList(
         rows=rows.reshape(1, -1),
         cols=cols.reshape(1, -1),
@@ -300,9 +291,10 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
     def row_body(i, _):
         row0 = pl.multiple_of(i * tm, tm)
         rcx = rowcx_ref[0, i]
-        xi = x_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
-        yi = x_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
-        zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
+        ri3 = x_ref[:, pl.ds(row0, tm)]          # ONE (3, tm) slice
+        xi = ri3[0].reshape(tm, 1)
+        yi = ri3[1].reshape(tm, 1)
+        zi = ri3[2].reshape(tm, 1)
         # canonicalize row x into the row frame, prescale (per-row,
         # amortized)
         xi = (xi - Lx * jnp.floor((xi - rcx) * inv_Lx + 0.5)) * inv_sigma
@@ -316,9 +308,10 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 c = cols_ref[0, k]
                 col0 = pl.multiple_of(c * tn, tn)
                 ccx = ccx_ref[0, k]
-                xj = x_ref[0, pl.ds(col0, tn)].reshape(1, tn)
-                yj = x_ref[1, pl.ds(col0, tn)].reshape(1, tn)
-                zj = x_ref[2, pl.ds(col0, tn)].reshape(1, tn)
+                cj3 = x_ref[:, pl.ds(col0, tn)]  # ONE (3, tn) slice
+                xj = cj3[0].reshape(1, tn)
+                yj = cj3[1].reshape(1, tn)
+                zj = cj3[2].reshape(1, tn)
                 xj = (
                     xj - Lx * jnp.floor((xj - ccx) * inv_Lx + 0.5)
                 ) * inv_sigma
@@ -344,15 +337,13 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 tx = coef * dx
                 ty = coef * dy
                 tz = coef * dz
-                f_ref[0, pl.ds(col0, tn)] = (
-                    f_ref[0, pl.ds(col0, tn)] - jnp.sum(tx, axis=0)
+                # single fused reaction RMW on the (3, tn) col slice
+                re3 = jnp.concatenate(
+                    [jnp.sum(tx, axis=0, keepdims=True),
+                     jnp.sum(ty, axis=0, keepdims=True),
+                     jnp.sum(tz, axis=0, keepdims=True)], axis=0,
                 )
-                f_ref[1, pl.ds(col0, tn)] = (
-                    f_ref[1, pl.ds(col0, tn)] - jnp.sum(ty, axis=0)
-                )
-                f_ref[2, pl.ds(col0, tn)] = (
-                    f_ref[2, pl.ds(col0, tn)] - jnp.sum(tz, axis=0)
-                )
+                f_ref[:, pl.ds(col0, tn)] = f_ref[:, pl.ds(col0, tn)] - re3
                 fx = fx + jnp.sum(tx, axis=1, keepdims=True)
                 fy = fy + jnp.sum(ty, axis=1, keepdims=True)
                 fz = fz + jnp.sum(tz, axis=1, keepdims=True)
@@ -365,9 +356,10 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
         g1 = ptr2_ref[0, 2 * i + 1]
         g2 = ptr2_ref[0, 2 * i + 2]
         acc = jax.lax.fori_loop(g0, g1, make_inner(True), (z, z, z))
-        # fast segment is padded to a multiple of ``unroll`` (null entries
-        # mask out): several entries per iteration cuts loop overhead and
-        # multiplies the independent instruction streams in flight
+        # fast segment: several entries per iteration cuts loop overhead
+        # and multiplies the independent instruction streams in flight;
+        # the remainder runs in a plain tail loop (no null-entry padding:
+        # a padded entry would cost a FULL masked tile visit)
         inner_fast = make_inner(False)
 
         def inner_u(k2, acc):
@@ -375,10 +367,15 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 acc = inner_fast(g1 + unroll * k2 + u, acc)
             return acc
 
-        fx, fy, fz = jax.lax.fori_loop(0, (g2 - g1) // unroll, inner_u, acc)
-        f_ref[0, pl.ds(row0, tm)] = f_ref[0, pl.ds(row0, tm)] + fx[:, 0]
-        f_ref[1, pl.ds(row0, tm)] = f_ref[1, pl.ds(row0, tm)] + fy[:, 0]
-        f_ref[2, pl.ds(row0, tm)] = f_ref[2, pl.ds(row0, tm)] + fz[:, 0]
+        n_fast = g2 - g1
+        g_tail = g1 + (n_fast // unroll) * unroll
+        acc = jax.lax.fori_loop(0, n_fast // unroll, inner_u, acc)
+        fx, fy, fz = jax.lax.fori_loop(g_tail, g2, inner_fast, acc)
+        fi3 = jnp.concatenate(
+            [fx.reshape(1, tm), fy.reshape(1, tm), fz.reshape(1, tm)],
+            axis=0,
+        )
+        f_ref[:, pl.ds(row0, tm)] = f_ref[:, pl.ds(row0, tm)] + fi3
         return _
 
     jax.lax.fori_loop(0, nr, row_body, 0)
@@ -613,7 +610,7 @@ class CulledLJMD:
     def build_pairs(self, pos3, box_diag, capacity: int) -> TilePairList:
         return build_tile_pairs(
             pos3, self.n, self.tm, self.tn, box_diag, self.cutoff,
-            self.slack, capacity, unroll=self.unroll,
+            self.slack, capacity,
         )
 
     def force(self, pos3, box_diag, pairs: TilePairList,

@@ -417,7 +417,7 @@ def make_culled_lj_runner(
     sort_mode: str = "x",
     seed_default: int = 0,
     exact_forces: bool = False,
-    sort_every: int = 4,
+    sort_every: int = 1,
     rebuild_every: int = 1,
     unroll: int = 4,
 ):
@@ -431,14 +431,15 @@ def make_culled_lj_runner(
 
     The tile-pair Verlet list is rebuilt every ``rebuild_every`` segments
     and the state re-sorted by the spatial key every ``sort_every``
-    rebuilds (both via ``lax.cond`` inside the scan): ``lax.sort`` and the
-    list build each cost hundreds of microseconds on TPU, comparable to
-    several segments of dynamics.  Correctness never depends on the
-    cadence -- tile bboxes are computed from CURRENT positions at every
-    rebuild (sort staleness only fattens them), and the cumulative top-2
-    drift from the rebuild anchor is checked against the slack EVERY
-    segment: if the list could have gone stale, ``state.overflowed``
-    latches and ``check()`` raises.
+    rebuilds (both via ``lax.cond`` inside the scan).  Correctness never
+    depends on the cadence -- tile bboxes are computed from CURRENT
+    positions at every rebuild (sort staleness only fattens them), and the
+    cumulative top-2 drift from the rebuild anchor is checked against the
+    slack EVERY segment: if the list could have gone stale,
+    ``state.overflowed`` latches and ``check()`` raises.  Measured at
+    N=4000 (BENCH.md): cadences above 1 LOSE -- the ~300 us saved per
+    skipped sort is outweighed by the fatter stale-sort tile bboxes -- so
+    both default to 1; the knobs remain for other regimes.
 
     NOTE: like the band runner, sorting permutes particle identity --
     requires identical masses; ``positions(state)`` returns internal order.
@@ -534,7 +535,7 @@ def make_culled_lj_runner(
             cap_max = nr * nc + nr * md.unroll  # + worst-case null padding
             probe = build_tile_pairs(
                 x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                capacity=cap_max, unroll=md.unroll,
+                capacity=cap_max,
             )
             if bool(probe.overflowed):
                 raise ValueError(
@@ -548,7 +549,7 @@ def make_culled_lj_runner(
             self.capacity = min(cap_max, int(count * 2.0) + 128)
             pairs = build_tile_pairs(
                 x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                capacity=self.capacity, unroll=md.unroll,
+                capacity=self.capacity,
             )
             key0 = jax.random.PRNGKey(seed)
             _, vkey = jax.random.split(key0)
@@ -599,7 +600,7 @@ def make_culled_lj_runner(
                     x = args[0]
                     return build_tile_pairs(
                         x, n, md.tm, md.tn, box_diag[0], md.cutoff,
-                        md.slack, capacity=capacity, unroll=md.unroll,
+                        md.slack, capacity=capacity,
                     ), x
 
                 pairs, x_anchor = jax.lax.cond(

@@ -88,6 +88,20 @@ def test_culled_force_actually_culls(sorted_system):
     assert int(pairs.count[0, 0]) < nr * nc  # some rectangles were culled
 
 
+def test_scatter_placement_matches_onehot(sorted_system, monkeypatch):
+    """The large-N scatter placement must build the identical list as the
+    one-hot-matmul placement (the builder switches on entries*capacity)."""
+    import chiron_tpu.ops.lj_cull as lc
+
+    md, pos3s, box_diag = sorted_system
+    ref = md.build_pairs(pos3s, box_diag, capacity=8192)
+    monkeypatch.setattr(lc, "_ONEHOT_LIMIT", 0)
+    alt = md.build_pairs(pos3s, box_diag, capacity=8192)
+    for name in ("rows", "cols", "ccx", "ptr2", "rowcx", "count"):
+        assert bool(jnp.array_equal(getattr(ref, name), getattr(alt, name))), name
+    assert bool(ref.overflowed) == bool(alt.overflowed)
+
+
 def test_capacity_overflow_flagged(sorted_system):
     md, pos3s, box_diag = sorted_system
     pairs = md.build_pairs(pos3s, box_diag, capacity=3)
