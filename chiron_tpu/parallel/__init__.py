@@ -14,10 +14,15 @@ capability the north star mandates: replica-parallel sampling over a
 * :mod:`chiron_tpu.parallel.multistate` -- ``MeshMultiStateSampler``:
   the general replica-exchange sampler with homogeneous potential
   families stacked as data and replicas sharded over the mesh.
+* :mod:`chiron_tpu.parallel.spatial` -- particle-axis sharding: the
+  row-sharded pair kernel (``make_sharded_lj_force``) and the
+  single-replica large-N Langevin engine (``make_spatial_lj_runner``,
+  one positions all_gather per step).
 """
 
 from .mesh import make_replica_mesh, replica_sharding
 from .multistate import MeshMultiStateSampler
+from .spatial import make_sharded_lj_force, make_spatial_lj_runner
 from .tempering import ParallelTemperingSampler
 
 __all__ = [
@@ -25,4 +30,6 @@ __all__ = [
     "replica_sharding",
     "MeshMultiStateSampler",
     "ParallelTemperingSampler",
+    "make_sharded_lj_force",
+    "make_spatial_lj_runner",
 ]
