@@ -48,13 +48,16 @@ def main():
     fs = fast.run(fs, n_steps_equil)
     eq_pos = np.asarray(fast.positions(fs))
 
-    # production engine: culled tile-pair fused kernel (ops/lj_cull.py)
+    # production engine: culled tile-pair fused kernel (ops/lj_cull.py);
+    # slack 0.2 nm is the measured optimum for this workload (BENCH.md) --
+    # 0.15 trips the drift latch, 0.3 carries ~6% extra pair slots
     runner = make_culled_lj_runner(
         potential=fluid.potential,
         n_particles=n_particles,
         topology=fluid.topology,
         temperature=120.0 * units.kelvin,
         timestep=2.0 * units.femtoseconds,
+        slack=0.2,
     )
     state = runner.init(eq_pos, box, seed=1234)
 
@@ -63,10 +66,12 @@ def main():
     state = runner.run(state, n_steps_bench)
     jax.block_until_ready(state.x)
 
-    t0 = time.perf_counter()
-    state = runner.run(state, n_steps_bench)
-    jax.block_until_ready(state.x)
-    dt = time.perf_counter() - t0
+    dt = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state = runner.run(state, n_steps_bench)
+        jax.block_until_ready(state.x)
+        dt = min(dt, time.perf_counter() - t0)
     runner.check(state)  # tile-skin/capacity invariants held
 
     steps_per_sec = n_steps_bench / dt

@@ -266,7 +266,7 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                     n, n_pad, tm, tn,
                     Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
                     inv_sigma, eps_scale, cutoff2_s, approx_recip,
-                    unroll):
+                    unroll, mxu_reduce=False):
     """Row-grouped culled force pass: for each row tile, the row coordinate
     vectors are loaded/canonicalized once and the row accumulator carried
     across that row's list entries (single row RMW at the end); each entry
@@ -287,6 +287,25 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
     Lzs = Lz * inv_sigma
     two_inv_Lys = 2.0 * inv_Ly * (1.0 / inv_sigma)
     two_inv_Lzs = 2.0 * inv_Lz * (1.0 / inv_sigma)
+    ones_row = jnp.ones((1, tm), jnp.float32)
+    ones_col = jnp.ones((tn, 1), jnp.float32)
+
+    def _sum0(t):
+        # (tm, tn) -> (1, tn): on the MXU when requested (it idles under
+        # this VPU-bound kernel, so the reduction overlaps the pair math)
+        if mxu_reduce:
+            return jax.lax.dot_general(
+                ones_row, t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(t, axis=0, keepdims=True)
+
+    def _sum1(t):
+        # (tm, tn) -> (tm, 1)
+        if mxu_reduce:
+            return jax.lax.dot_general(
+                t, ones_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(t, axis=1, keepdims=True)
 
     def row_body(i, _):
         row0 = pl.multiple_of(i * tm, tm)
@@ -339,14 +358,12 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 tz = coef * dz
                 # single fused reaction RMW on the (3, tn) col slice
                 re3 = jnp.concatenate(
-                    [jnp.sum(tx, axis=0, keepdims=True),
-                     jnp.sum(ty, axis=0, keepdims=True),
-                     jnp.sum(tz, axis=0, keepdims=True)], axis=0,
+                    [_sum0(tx), _sum0(ty), _sum0(tz)], axis=0,
                 )
                 f_ref[:, pl.ds(col0, tn)] = f_ref[:, pl.ds(col0, tn)] - re3
-                fx = fx + jnp.sum(tx, axis=1, keepdims=True)
-                fy = fy + jnp.sum(ty, axis=1, keepdims=True)
-                fz = fz + jnp.sum(tz, axis=1, keepdims=True)
+                fx = fx + _sum1(tx)
+                fy = fy + _sum1(ty)
+                fz = fz + _sum1(tz)
                 return fx, fy, fz
 
             return inner
@@ -383,7 +400,7 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
 
 
 def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                       approx_recip, unroll):
+                       approx_recip, unroll, mxu_reduce=False):
     inv_sigma = 1.0 / sigma
     eps_scale = 24.0 * epsilon / sigma
     cutoff2_s = (cutoff / sigma) ** 2
@@ -397,6 +414,7 @@ def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             n, n_pad, tm, tn,
             Lx, 1.0 / Lx, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
             inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
+            mxu_reduce,
         )
 
     return kernel
@@ -405,18 +423,19 @@ def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "tm", "tn", "sigma", "epsilon", "cutoff",
-                     "approx_recip", "interpret", "unroll"),
+                     "approx_recip", "interpret", "unroll", "mxu_reduce"),
 )
 def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
                      tn: int, sigma: float, epsilon: float, cutoff: float,
-                     approx_recip: bool, interpret: bool, unroll: int = 2):
+                     approx_recip: bool, interpret: bool, unroll: int = 2,
+                     mxu_reduce: bool = False):
     """Standalone culled force (oracle-parity surface; the fused MD kernel
     below is the production path)."""
     n_pad = pos3.shape[1]
     capacity = pairs.cols.shape[1]
     nr = n_pad // tm
     kernel = _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                                approx_recip, unroll)
+                                approx_recip, unroll, mxu_reduce)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -436,7 +455,8 @@ def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
 
 
 def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                    dt, a_coef, b_coef, approx_recip, unroll):
+                    dt, a_coef, b_coef, approx_recip, unroll,
+                    mxu_reduce=False):
     inv_sigma = 1.0 / sigma
     eps_scale = 24.0 * epsilon / sigma
     cutoff2_s = (cutoff / sigma) ** 2
@@ -499,11 +519,17 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
         noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
         v = a_coef * v + b_coef * sigv_ref[...] * noise
         x = x + (dt * 0.5) * v
+        # wrap with (3, 1) per-axis constants (broadcast beats materializing
+        # three full (1, n_pad) rows) and a multiply instead of the divide
         Lcol = jnp.concatenate(
-            [jnp.full((1, n_pad), Lx), jnp.full((1, n_pad), Ly),
-             jnp.full((1, n_pad), Lz)], axis=0
+            [jnp.full((1, 1), Lx), jnp.full((1, 1), Ly),
+             jnp.full((1, 1), Lz)], axis=0
         )
-        x = x - jnp.floor(x / Lcol) * Lcol
+        inv_Lcol = jnp.concatenate(
+            [jnp.full((1, 1), inv_Lx), jnp.full((1, 1), inv_Ly),
+             jnp.full((1, 1), inv_Lz)], axis=0
+        )
+        x = x - jnp.floor(x * inv_Lcol) * Lcol
         x_ref[...] = x
         v_ref[...] = v
         f_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
@@ -514,6 +540,7 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             n, n_pad, tm, tn,
             Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
             inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
+            mxu_reduce,
         )
 
     return kernel
@@ -523,17 +550,18 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
     jax.jit,
     static_argnames=("n", "n_steps", "tm", "tn", "sigma", "epsilon",
                      "cutoff", "dt", "a_coef", "b_coef", "approx_recip",
-                     "interpret", "unroll"),
+                     "interpret", "unroll", "mxu_reduce"),
 )
 def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
                   minv, sigv, n: int, n_steps: int, tm: int, tn: int,
                   sigma: float, epsilon: float, cutoff: float, dt: float,
                   a_coef: float, b_coef: float, approx_recip: bool,
-                  interpret: bool, unroll: int = 2):
+                  interpret: bool, unroll: int = 2, mxu_reduce: bool = False):
     n_pad = x3.shape[1]
     capacity = pairs.rows.shape[1]
     kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                             dt, a_coef, b_coef, approx_recip, unroll)
+                             dt, a_coef, b_coef, approx_recip, unroll,
+                             mxu_reduce)
     full = lambda s: (0, 0)
     smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
@@ -577,7 +605,7 @@ class CulledLJMD:
     def __init__(self, n, sigma, epsilon, cutoff, masses_lane, dt, gamma, kT,
                  tm: int = 128, tn: int = 128, nslab: int = None,
                  slack: float = 0.2, n_pad: int = None, interpret=None,
-                 unroll: int = 4):
+                 unroll: int = 4, mxu_reduce: bool = False):
         self.n = n
         self.sigma, self.epsilon, self.cutoff = (
             float(sigma), float(epsilon), float(cutoff)
@@ -588,6 +616,7 @@ class CulledLJMD:
         self.kT = float(kT)
         self.slack = float(slack)
         self.unroll = int(unroll)
+        self.mxu_reduce = bool(mxu_reduce)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -618,7 +647,7 @@ class CulledLJMD:
         return culled_force_raw(
             pos3, box_diag, pairs, self.n, self.tm, self.tn, self.sigma,
             self.epsilon, self.cutoff, approx_recip, self.interpret,
-            unroll=self.unroll,
+            unroll=self.unroll, mxu_reduce=self.mxu_reduce,
         )
 
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
@@ -634,7 +663,7 @@ class CulledLJMD:
             pairs, self.minv, self.sigv,
             self.n, n_steps, self.tm, self.tn, self.sigma, self.epsilon,
             self.cutoff, self.dt, self.a, self.b, approx_recip,
-            self.interpret, unroll=self.unroll,
+            self.interpret, unroll=self.unroll, mxu_reduce=self.mxu_reduce,
         )
         v_std = w_out + (0.5 * self.dt) * f_out * self.minv
         return x3, v_std, f_out

@@ -420,6 +420,7 @@ def make_culled_lj_runner(
     sort_every: int = 1,
     rebuild_every: int = 1,
     unroll: int = 4,
+    mxu_reduce: bool = False,
 ):
     """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
 
@@ -471,7 +472,7 @@ def make_culled_lj_runner(
         n_particles, potential.sigma, potential.epsilon, potential.cutoff,
         masses_lane=np.asarray(masses_host, dtype=np.float32),
         dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
-        n_pad=common_pad, unroll=unroll,
+        n_pad=common_pad, unroll=unroll, mxu_reduce=mxu_reduce,
     )
     n = n_particles
     n_pad = md.n_pad
