@@ -345,14 +345,25 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 if general:
                     cid = col0 + iota_c
                     m = m & (cid > rid) & (cid < n)
-                r2s = jnp.maximum(r2, 1e-4)
+                if general:
+                    # self-pairs sit at r2 == 0: clamp before the
+                    # reciprocal (they are masked, but inf*0 would NaN)
+                    r2s = jnp.maximum(r2, 1e-4)
+                else:
+                    # fast rects hold no self-pairs; a genuinely
+                    # coincident pair would produce inf/NaN forces and
+                    # trip the runner's NaN latch, which is the correct
+                    # outcome for a collapsed configuration
+                    r2s = r2
                 if approx_recip:
                     inv = pl.reciprocal(r2s, approx=True)
                 else:
                     inv = 1.0 / r2s
                 i6 = inv * inv * inv
-                # 24*eps/sigma applied once per pass on the result
-                coef = jnp.where(m, (2.0 * i6 * i6 - i6) * inv, 0.0)
+                # coef = (2 i6^2 - i6) inv, factored as (i6 - 1/2) i6 inv
+                # (one fewer multiply); the 2x lives in eps_scale, applied
+                # once per pass on the result together with 24*eps/sigma
+                coef = jnp.where(m, (i6 - 0.5) * i6 * inv, 0.0)
                 tx = coef * dx
                 ty = coef * dy
                 tz = coef * dz
@@ -402,7 +413,7 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
 def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                        approx_recip, unroll, mxu_reduce=False):
     inv_sigma = 1.0 / sigma
-    eps_scale = 24.0 * epsilon / sigma
+    eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
     cutoff2_s = (cutoff / sigma) ** 2
 
     def kernel(box_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
@@ -458,7 +469,7 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                     dt, a_coef, b_coef, approx_recip, unroll,
                     mxu_reduce=False):
     inv_sigma = 1.0 / sigma
-    eps_scale = 24.0 * epsilon / sigma
+    eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
     cutoff2_s = (cutoff / sigma) ** 2
 
     def kernel(box_ref, seed_ref, off_ref, cols_ref, ccx_ref, ptr2_ref,

@@ -421,6 +421,7 @@ def make_culled_lj_runner(
     rebuild_every: int = 1,
     unroll: int = 4,
     mxu_reduce: bool = False,
+    fused_rebuild: bool = False,
 ):
     """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
 
@@ -448,6 +449,7 @@ def make_culled_lj_runner(
     from .ops.lj_cull import (
         CulledLJMD, build_tile_pairs, slab_y_key, sort_by_key,
     )
+    from .ops.sortbuild import sort_build_raw
     from .ops.lj_dense import LJDensePallas
 
     if topology is None:
@@ -572,43 +574,67 @@ def make_culled_lj_runner(
                 return self._bodies[cache_key]
             nslab, capacity, seed = self.nslab, self.capacity, self.seed
             approx = not exact_forces
+            # one-Pallas-call sort+build (ops/sortbuild.py): measured
+            # 290 us vs the XLA path's 394 us per segment at N=4000 --
+            # throughput-neutral there (BENCH.md), so opt-in; it needs a
+            # power-of-two n_pad and 128-multiple tiles
+            use_fused = fused_rebuild and (
+                (n_pad & (n_pad - 1)) == 0
+                and md.tm % 128 == 0
+                and md.tn % 128 == 0
+            )
 
             def body(carry: CullCarry, _):
                 box_diag = carry.box_diag
                 Lx = box_diag[0, 0]
-                # sort/rebuild cadence from the cumulative step counter
-                # (rem segments shift the phase harmlessly -- the cadence
-                # is a heuristic; the drift latch guards correctness)
-                seg_i = carry.step[0, 0] // segment_steps
-                do_sort = (seg_i % (rebuild_every * sort_every)) == 0
-                do_rebuild = do_sort | ((seg_i % rebuild_every) == 0)
-
-                def sort_branch(xvF):
-                    x, v, F = xvF
-                    skey = slab_y_key(x, n, nslab, Lx)
-                    xs, payload = sort_by_key(
-                        skey, x,
-                        (v[0], v[1], v[2], F[0], F[1], F[2]),
+                if use_fused:
+                    x3s, v3, F3, pairs = sort_build_raw(
+                        carry.x, carry.v, carry.F, box_diag[0],
+                        n=n, tm=md.tm, tn=md.tn, nslab=nslab,
+                        cutoff=md.cutoff, slack=md.slack,
+                        capacity=capacity, interpret=md.interpret,
                     )
-                    return xs, jnp.stack(payload[0:3]), jnp.stack(payload[3:6])
+                    x_anchor = x3s
+                else:
+                    # XLA fallback with sort/rebuild cadence from the
+                    # cumulative step counter (rem segments shift the
+                    # phase harmlessly -- the cadence is a heuristic; the
+                    # drift latch guards correctness)
+                    seg_i = carry.step[0, 0] // segment_steps
+                    do_sort = (
+                        seg_i % (rebuild_every * sort_every)
+                    ) == 0
+                    do_rebuild = do_sort | (
+                        (seg_i % rebuild_every) == 0
+                    )
 
-                x3s, v3, F3 = jax.lax.cond(
-                    do_sort, sort_branch, lambda t: t,
-                    (carry.x, carry.v, carry.F),
-                )
+                    def sort_branch(xvF):
+                        x, v, F = xvF
+                        skey = slab_y_key(x, n, nslab, Lx)
+                        xs, payload = sort_by_key(
+                            skey, x,
+                            (v[0], v[1], v[2], F[0], F[1], F[2]),
+                        )
+                        return (xs, jnp.stack(payload[0:3]),
+                                jnp.stack(payload[3:6]))
 
-                def rebuild_branch(args):
-                    x = args[0]
-                    return build_tile_pairs(
-                        x, n, md.tm, md.tn, box_diag[0], md.cutoff,
-                        md.slack, capacity=capacity,
-                    ), x
+                    x3s, v3, F3 = jax.lax.cond(
+                        do_sort, sort_branch, lambda t: t,
+                        (carry.x, carry.v, carry.F),
+                    )
 
-                pairs, x_anchor = jax.lax.cond(
-                    do_rebuild, rebuild_branch,
-                    lambda args: (args[1], args[2]),
-                    (x3s, carry.pairs, carry.x_anchor),
-                )
+                    def rebuild_branch(args):
+                        x = args[0]
+                        return build_tile_pairs(
+                            x, n, md.tm, md.tn, box_diag[0], md.cutoff,
+                            md.slack, capacity=capacity,
+                        ), x
+
+                    pairs, x_anchor = jax.lax.cond(
+                        do_rebuild, rebuild_branch,
+                        lambda args: (args[1], args[2]),
+                        (x3s, carry.pairs, carry.x_anchor),
+                    )
                 overflowed = carry.overflowed | pairs.overflowed
                 x1, v1, F1 = md.run_segment(
                     x3s, v3, F3, box_diag[0], pairs,
