@@ -168,6 +168,94 @@ def heat_capacity_nvt(energies, temperature):
     return float(np.var(E) / (units.kB_MD * T * T))
 
 
+def unwrap_trajectory(frames, box_diag):
+    """Undo periodic wrapping across a trajectory of (T, N, 3) frames.
+
+    Frame-to-frame displacements are minimum-imaged and accumulated, so
+    the result is continuous in space -- valid whenever no particle moves
+    more than L/2 between consecutive frames (any sane report cadence).
+    Transport observables (MSD, diffusion) need this: the runners wrap
+    positions into the box every step.
+    """
+    frames = jnp.asarray(frames)
+    L = jnp.asarray(box_diag).reshape(1, 1, 3)
+    d = jnp.diff(frames, axis=0)
+    d = d - L * jnp.round(d / L)
+    return jnp.concatenate(
+        [frames[:1], frames[:1] + jnp.cumsum(d, axis=0)], axis=0
+    )
+
+
+def _autocorr_fft(a):
+    """S2(m) = sum_t a[t] a[t+m] for each lag m, along axis 0 (FFT)."""
+    T = a.shape[0]
+    fa = jnp.fft.rfft(a, n=2 * T, axis=0)
+    return jnp.fft.irfft(fa * jnp.conj(fa), n=2 * T, axis=0)[:T]
+
+
+@jax.jit
+def _msd_all_lags(x):
+    """MSD over all lags via the FFT autocorrelation identity
+    (O(T log T N) instead of the direct O(T^2 N) origin average)."""
+    T, N = x.shape[0], x.shape[1]
+    D = jnp.sum(x * x, axis=-1)                      # (T, N)
+    S2 = jnp.sum(_autocorr_fft(x), axis=-1)          # (T, N)
+    sumD = jnp.sum(D, axis=0)
+
+    def body(S1_prev, m):
+        S1 = S1_prev - D[m - 1] - D[T - m]
+        return S1, S1
+
+    _, S1_tail = jax.lax.scan(body, 2.0 * sumD, jnp.arange(1, T))
+    S1 = jnp.concatenate([2.0 * sumD[None], S1_tail], axis=0)  # (T, N)
+    counts = (T - jnp.arange(T)).astype(jnp.float32)[:, None]
+    return jnp.mean((S1 - 2.0 * S2) / counts, axis=1)
+
+
+def mean_squared_displacement(frames, box_diag=None):
+    """MSD(t) averaged over particles and ALL time origins: (T,) array
+    (nm^2).
+
+    ``frames`` is (T, N, 3); pass ``box_diag`` to unwrap first (required
+    for wrapped trajectories).  One jitted FFT pass (O(T log T))."""
+    x = jnp.asarray(frames, jnp.float32)
+    if box_diag is not None:
+        x = unwrap_trajectory(x, box_diag)
+    return _msd_all_lags(x)
+
+
+def diffusion_coefficient(frames, times, box_diag=None,
+                          fit_fraction=(0.2, 0.8)):
+    """Self-diffusion D from the Einstein relation MSD = 6 D t.
+
+    Least-squares slope over the middle ``fit_fraction`` window of lag
+    times (skipping the ballistic onset and the noisy tail).  Returns D
+    in nm^2/ps for ``times`` in ps.
+    """
+    msd = np.asarray(mean_squared_displacement(frames, box_diag),
+                     dtype=np.float64)
+    t = np.asarray(times, dtype=np.float64)
+    lo = int(len(t) * fit_fraction[0])
+    hi = max(lo + 2, int(len(t) * fit_fraction[1]))
+    slope = np.polyfit(t[lo:hi], msd[lo:hi], 1)[0]
+    return float(slope / 6.0)
+
+
+def velocity_autocorrelation(velocities):
+    """Normalized VACF(t) over (T, N, 3) velocity frames: (T,) array.
+
+    C(t) = <v(0).v(t)> / <v(0).v(0)>, averaged over particles and ALL
+    time origins (one jitted FFT pass); the Green-Kubo integral of the
+    unnormalized VACF is an independent route to D.
+    """
+    v = jnp.asarray(velocities, jnp.float32)
+    T = v.shape[0]
+    S2 = jnp.mean(jnp.sum(_autocorr_fft(v), axis=-1), axis=1)  # (T,)
+    counts = (T - jnp.arange(T)).astype(jnp.float32)
+    c = S2 / counts
+    return c / c[0]
+
+
 def mbar_expectation(estimator, samples, state_index: int = 0):
     """<A> at a thermodynamic state via MBAR reweighting.
 

@@ -91,3 +91,67 @@ def test_heat_capacity_of_gaussian_energy_samples():
     cv = heat_capacity_nvt(E, T * u.kelvin)
     expected = sigma_E ** 2 / (u.kB_MD * T * T)
     assert cv == pytest.approx(expected, rel=2e-2)
+
+
+def test_unwrap_trajectory_recovers_ballistic_path():
+    """A particle crossing the boundary many times unwraps to a straight
+    line."""
+    from chiron_tpu.observables import unwrap_trajectory
+
+    L = 2.0
+    t = np.arange(50, dtype=np.float32)
+    x_true = 0.3 * t  # crosses the box ~7 times
+    frames = np.zeros((50, 1, 3), np.float32)
+    frames[:, 0, 0] = x_true % L
+    out = np.asarray(unwrap_trajectory(frames, [L, L, L]))
+    assert np.allclose(out[:, 0, 0], x_true, atol=1e-4)
+
+
+def test_msd_and_diffusion_of_random_walk():
+    """A discrete random walk with step variance s^2 per axis has
+    MSD(k) = 3 s^2 k and D = s^2 / (2 dt)."""
+    from chiron_tpu.observables import (
+        diffusion_coefficient, mean_squared_displacement)
+
+    rng = np.random.default_rng(4)
+    s, dt = 0.05, 0.1
+    steps = rng.normal(0, s, size=(200, 400, 3)).astype(np.float32)
+    frames = np.cumsum(steps, axis=0)
+    msd = np.asarray(mean_squared_displacement(frames))
+    k = np.arange(len(msd))
+    # linear in lag with slope 3 s^2
+    assert abs(msd[50] / (3 * s * s * 50) - 1.0) < 0.1
+    times = k * dt
+    D = diffusion_coefficient(frames, times)
+    assert abs(D / (s * s / (2 * dt)) - 1.0) < 0.1
+
+
+def test_msd_with_wrapped_random_walk_matches_unwrapped():
+    from chiron_tpu.observables import mean_squared_displacement
+
+    rng = np.random.default_rng(9)
+    L = 1.5
+    steps = rng.normal(0, 0.04, size=(100, 64, 3)).astype(np.float32)
+    frames = np.cumsum(steps, axis=0)
+    wrapped = frames % L
+    msd_ref = np.asarray(mean_squared_displacement(frames))
+    msd_w = np.asarray(mean_squared_displacement(wrapped, [L, L, L]))
+    assert np.allclose(msd_ref, msd_w, rtol=1e-4, atol=1e-5)
+
+
+def test_vacf_of_constant_velocity_is_one():
+    from chiron_tpu.observables import velocity_autocorrelation
+
+    v = np.ones((30, 10, 3), np.float32)
+    c = np.asarray(velocity_autocorrelation(v))
+    assert np.allclose(c, 1.0, atol=1e-6)
+
+
+def test_vacf_of_independent_noise_decays():
+    from chiron_tpu.observables import velocity_autocorrelation
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(100, 256, 3)).astype(np.float32)
+    c = np.asarray(velocity_autocorrelation(v))
+    assert abs(c[0] - 1.0) < 1e-6
+    assert np.all(np.abs(c[1:10]) < 0.05)
