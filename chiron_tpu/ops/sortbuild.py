@@ -113,11 +113,19 @@ def _mxu_cumsum(v, m, inclusive=True):
     return jax.lax.dot_general(
         v, tri.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
+# largest nr x capacity one-hot for which the per-column placement loop
+# stays comfortably inside scoped VMEM (the unrolled loop keeps several
+# live); above it the kernel emits the (nr, nc) slot matrix and the
+# wrapper places entries in XLA
+_KERNEL_PLACE_LIMIT = 1 << 16
+
+
 def _make_sort_build_kernel(n, n_pad, tm, tn, nslab, cutoff, slack,
-                            capacity):
+                            capacity, place_in_kernel):
     C = 128
     R = n_pad // C
     nr, nc = n_pad // tm, n_pad // tn
@@ -130,6 +138,8 @@ def _make_sort_build_kernel(n, n_pad, tm, tn, nslab, cutoff, slack,
     def kernel(box_ref, x_in, v_in, f_in,
                x_out, v_out, f_out, cols_ref, ccx_ref, ptr2_ref,
                rowcx_ref, count_ref, over_ref):
+        # when place_in_kernel is False, cols_ref/ccx_ref are instead the
+        # (nr, nc) slot and shifted-center matrices for the XLA wrapper
         Lx = box_ref[0, 0]
         Ly = box_ref[0, 1]
         Lz = box_ref[0, 2]
@@ -245,6 +255,7 @@ def _make_sort_build_kernel(n, n_pad, tm, tn, nslab, cutoff, slack,
         incl = jax.lax.dot_general(
             tri_lo, tot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                # (nr, 1)
         total = jnp.max(incl)
         # ptr2[2i+1] = incl[i] - fast[i], ptr2[2i+2] = incl[i], ptr2[0]=0:
@@ -257,9 +268,12 @@ def _make_sort_build_kernel(n, n_pad, tm, tn, nslab, cutoff, slack,
         B = (lane == row2 + 1).astype(jnp.float32)
 
         def colplace(v, M):  # (nr,1) x (nr, m) -> (1, m)
+            # HIGHEST precision: the MXU's default bf16 pass rounds
+            # integer-valued sums above 256 (caught at N=16k: wrong ptr2)
             return jax.lax.dot_general(
                 v, M, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         ptr2_ref[...] = jnp.minimum(
@@ -276,20 +290,24 @@ def _make_sort_build_kernel(n, n_pad, tm, tn, nslab, cutoff, slack,
         )
         slot = jnp.where(keep, slot, jnp.float32(capacity))
 
-        # ---- placement: per-column one-hot matmuls on the MXU ----
-        cap_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (nr, capacity), 1
-        ).astype(jnp.float32)
-        cols_acc = jnp.zeros((1, capacity), jnp.float32)
-        ccx_acc = jnp.zeros((1, capacity), jnp.float32)
-        for c in range(nc):
-            Tc = (slot[:, c:c + 1] == cap_iota).astype(jnp.float32)
-            cols_acc = cols_acc + float(c) * colplace(
-                jnp.ones((nr, 1), jnp.float32), Tc
-            )
-            ccx_acc = ccx_acc + colplace(ccx_sh[:, c:c + 1], Tc)
-        cols_ref[...] = jnp.round(cols_acc)
-        ccx_ref[...] = ccx_acc
+        if place_in_kernel:
+            # ---- placement: per-column one-hot matmuls on the MXU ----
+            cap_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (nr, capacity), 1
+            ).astype(jnp.float32)
+            cols_acc = jnp.zeros((1, capacity), jnp.float32)
+            ccx_acc = jnp.zeros((1, capacity), jnp.float32)
+            for c in range(nc):
+                Tc = (slot[:, c:c + 1] == cap_iota).astype(jnp.float32)
+                cols_acc = cols_acc + float(c) * colplace(
+                    jnp.ones((nr, 1), jnp.float32), Tc
+                )
+                ccx_acc = ccx_acc + colplace(ccx_sh[:, c:c + 1], Tc)
+            cols_ref[...] = jnp.round(cols_acc)
+            ccx_ref[...] = ccx_acc
+        else:
+            cols_ref[...] = slot
+            ccx_ref[...] = jnp.broadcast_to(ccx_sh, (nr, nc))
         rowcx_ref[...] = rcen[0].reshape(1, nr)
         count_ref[0, 0] = jnp.minimum(total, float(capacity))
         over_ref[0, 0] = jnp.maximum(
@@ -317,10 +335,15 @@ def sort_build_raw(x3, v3, f3, box_diag, n: int, tm: int, tn: int,
             "sort_build_raw needs power-of-two n_pad and 128-multiple "
             f"tiles (n_pad={n_pad}, tm={tm}, tn={tn})"
         )
-    nr = n_pad // tm
+    nr, nc = n_pad // tm, n_pad // tn
+    place_in_kernel = nr * capacity <= _KERNEL_PLACE_LIMIT
     kernel = _make_sort_build_kernel(
-        n, n_pad, tm, tn, nslab, cutoff, slack, capacity
+        n, n_pad, tm, tn, nslab, cutoff, slack, capacity, place_in_kernel
     )
+    if place_in_kernel:
+        cols_shape = ccx_shape = (1, capacity)
+    else:
+        cols_shape = ccx_shape = (nr, nc)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -328,8 +351,8 @@ def sort_build_raw(x3, v3, f3, box_diag, n: int, tm: int, tn: int,
         in_specs=[smem((1, 3)), vmem, vmem, vmem],
         out_specs=[
             vmem, vmem, vmem,                      # x', v', F'
-            vmem,                                  # cols (1, capacity) f32
-            vmem,                                  # ccx (1, capacity) f32
+            vmem,                                  # cols / slot matrix
+            vmem,                                  # ccx / ccx_sh matrix
             vmem,                                  # ptr2 (1, 2nr+1) f32
             vmem,                                  # rowcx (1, nr) f32
             smem((1, 1)),                          # count
@@ -339,8 +362,8 @@ def sort_build_raw(x3, v3, f3, box_diag, n: int, tm: int, tn: int,
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, capacity), jnp.float32),
-            jax.ShapeDtypeStruct((1, capacity), jnp.float32),
+            jax.ShapeDtypeStruct(cols_shape, jnp.float32),
+            jax.ShapeDtypeStruct(ccx_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 2 * nr + 1), jnp.float32),
             jax.ShapeDtypeStruct((1, nr), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -349,6 +372,22 @@ def sort_build_raw(x3, v3, f3, box_diag, n: int, tm: int, tn: int,
         interpret=interpret,
     )(box_diag.reshape(1, 3), x3, v3, f3)
     xs, vs, fs, cols, ccx, ptr2, rowcx, count, over = outs
+    if not place_in_kernel:
+        # XLA-side placement from the kernel's (nr, nc) slot matrix (the
+        # in-kernel per-column loop would blow scoped VMEM at this size);
+        # scatter with drop semantics, mirroring lj_cull.build_tile_pairs
+        slot = cols
+        ccx_sh = ccx
+        sl = slot.reshape(-1).astype(jnp.int32)
+        ci = jnp.broadcast_to(
+            jnp.arange(nc, dtype=jnp.float32)[None, :], (nr, nc)
+        ).reshape(-1)
+        cols = jnp.zeros((1, capacity), jnp.float32).at[0, sl].set(
+            ci, mode="drop"
+        )
+        ccx = jnp.zeros((1, capacity), jnp.float32).at[0, sl].set(
+            ccx_sh.reshape(-1), mode="drop"
+        )
     cols = cols.astype(jnp.int32)
     ptr2 = ptr2.astype(jnp.int32)
     pairs = TilePairList(

@@ -66,6 +66,34 @@ def test_sort_build_matches_xla_oracle(state):
     assert bool(pairs_o.overflowed) == bool(pairs_k.overflowed)
 
 
+def test_sort_build_wrapper_placement_matches(state, monkeypatch):
+    """Above the VMEM limit the kernel emits the slot matrix and the
+    wrapper scatters in XLA -- identical TilePairList either way."""
+    import chiron_tpu.ops.sortbuild as sb
+
+    x, v, F, box = state
+    ref = sort_build_raw(
+        x, v, F, box, n=N, tm=TM, tn=TN, nslab=0, cutoff=CUTOFF,
+        slack=SLACK, capacity=CAP, interpret=True,
+    )
+    monkeypatch.setattr(sb, "_KERNEL_PLACE_LIMIT", 0)
+    # separate jit cache entry: capacity+0 keeps the signature identical,
+    # so clear the cache to force re-trace under the patched limit
+    sb.sort_build_raw.clear_cache()
+    alt = sb.sort_build_raw(
+        x, v, F, box, n=N, tm=TM, tn=TN, nslab=0, cutoff=CUTOFF,
+        slack=SLACK, capacity=CAP, interpret=True,
+    )
+    sb.sort_build_raw.clear_cache()
+    for a, b in zip(ref[:3], alt[:3]):
+        assert jnp.array_equal(a, b)
+    for name in ("cols", "ccx", "ptr2", "rowcx", "count"):
+        assert jnp.array_equal(
+            getattr(ref[3], name), getattr(alt[3], name)
+        ), name
+    assert bool(ref[3].overflowed) == bool(alt[3].overflowed)
+
+
 def test_sort_build_flags_capacity_overflow(state):
     x, v, F, box = state
     *_, pairs = sort_build_raw(
