@@ -414,7 +414,7 @@ def make_culled_lj_runner(
     tn: int = 256,
     slack: float = 0.3,
     segment_steps: int = 50,
-    sort_mode: str = "x",
+    sort_mode: str = "auto",
     seed_default: int = 0,
     exact_forces: bool = False,
     sort_every: int = 1,
@@ -507,7 +507,16 @@ def make_culled_lj_runner(
                     "culled runner inapplicable: box under ~2 cutoffs "
                     "wide -- use make_fast_lj_runner instead"
                 )
-            if sort_mode == "x":
+            mode = sort_mode
+            if mode == "auto":
+                # measured crossover (BENCH.md): the (x-slab, y) key wins
+                # once the box is ~6.5 reaches wide (slots -40% at N=16k,
+                # 2,350 -> 2,750 steps/s); below that the 128-lane tiles
+                # are too coarse for 2D culling and pure-x wins (N=4000)
+                mode = (
+                    "slab" if Lx / (md.cutoff + md.slack) >= 6.5 else "x"
+                )
+            if mode == "x":
                 # pure x sort: tiles are thin x-slabs (~tm/n of the box),
                 # so the x-frame bound holds with large margin for any
                 # homogeneous system; the init probe + per-rebuild check
@@ -967,9 +976,11 @@ def make_lj_runner(
       dense fused kernel (``make_fast_lj_runner``) -- exact at every step,
       no skin assumptions (also the right engine for violent transients
       like lattice melts).
-    * 2k <= N < ~20k: culled tile-pair engine (``make_culled_lj_runner``).
-    * N >= ~20k: banded runner (``make_band_lj_runner``) -- the culled
-      list exceeds scalar memory at this scale.
+    * 2k <= N <= ~80k: culled tile-pair engine (``make_culled_lj_runner``;
+      its sort key switches to (x-slab, y) automatically once the box is
+      wide enough -- measured 4.7x the band engine at N=65k).
+    * N > ~80k: banded runner (``make_band_lj_runner``) -- the culled
+      tile-pair list outgrows scalar memory at this scale.
 
     Explicit ``engine`` in {'dense', 'culled', 'strip', 'band'} overrides.
     """
@@ -987,7 +998,7 @@ def make_lj_runner(
             )
         if n_particles < 2048 or not uniform or not wide_enough:
             engine = "dense"
-        elif n_particles < 20_000:
+        elif n_particles <= 80_000:
             engine = "culled"
         else:
             engine = "band"
