@@ -58,21 +58,26 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def slab_y_key(pos3: jnp.ndarray, n: int, nslab: int, L: float):
+def slab_y_key(pos3: jnp.ndarray, n: int, nslab: int, L: float,
+               Ly: float = None):
     """Monotone spatial sort key.
 
     ``nslab == 0``: pure x sort (best tile-pair culling at tm=tn=128 --
     thin x-slab tiles, the banded-kernel ordering).  ``nslab >= 1``:
-    (x-slab index, y) lexicographic.  Padding columns get +inf-like
-    sentinels so they stay at the end.
+    (x-slab index, y) lexicographic, with the slab separation scaled by
+    the Y box length so keys from adjacent slabs can never interleave in
+    a non-cubic box.  Padding columns get +inf-like sentinels so they
+    stay at the end.
     """
     n_pad = pos3.shape[1]
     if nslab == 0:
         key = pos3[0]
     else:
+        if Ly is None:
+            Ly = L
         slab_w = L / nslab
         slab = jnp.clip(jnp.floor(pos3[0] / slab_w), 0, nslab - 1)
-        key = slab * (2.0 * L) + pos3[1]
+        key = slab * (2.0 * Ly) + pos3[1]
     return jnp.where(jnp.arange(n_pad) < n, key, jnp.float32(3.0e38))
 
 

@@ -160,7 +160,9 @@ def _make_sort_build_kernel(n, n_pad, tm, tn, nslab, cutoff, slack,
         else:
             slab_w = Lx / nslab
             slab = jnp.clip(jnp.floor(x0 / slab_w), 0.0, float(nslab - 1))
-            key = slab * (2.0 * Lx) + x1
+            # slab separation scaled by Ly: adjacent slabs' keys must not
+            # interleave for non-cubic boxes (matches slab_y_key)
+            key = slab * (2.0 * Ly) + x1
         key = jnp.where(valid, key, jnp.float32(3.0e38))
         payloads = [
             x0, x1, x2,

@@ -540,7 +540,8 @@ def make_culled_lj_runner(
                         "occupancy would drop below 2 tiles -- use "
                         "sort_mode='x' or make_fast_lj_runner"
                     )
-            key = slab_y_key(x3, n, self.nslab, Lx)
+            key = slab_y_key(x3, n, self.nslab, Lx,
+                             Ly=float(box_diag[0, 1]))
             x3s, _ = sort_by_key(key, x3, ())
             # capacity: exact upper bound first, then tight + headroom
             nr, nc = n_pad // md.tm, n_pad // md.tn
@@ -592,6 +593,11 @@ def make_culled_lj_runner(
                 and md.tm % 128 == 0
                 and md.tn % 128 == 0
             )
+            if use_fused and (sort_every != 1 or rebuild_every != 1):
+                raise ValueError(
+                    "fused_rebuild sorts and rebuilds every segment; "
+                    "sort_every/rebuild_every must stay 1 with it"
+                )
 
             def body(carry: CullCarry, _):
                 box_diag = carry.box_diag
@@ -619,7 +625,8 @@ def make_culled_lj_runner(
 
                     def sort_branch(xvF):
                         x, v, F = xvF
-                        skey = slab_y_key(x, n, nslab, Lx)
+                        skey = slab_y_key(x, n, nslab, Lx,
+                                          Ly=box_diag[0, 1])
                         xs, payload = sort_by_key(
                             skey, x,
                             (v[0], v[1], v[2], F[0], F[1], F[2]),
