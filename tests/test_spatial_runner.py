@@ -16,6 +16,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -99,3 +101,53 @@ def test_spatial_runner_2dev_parity():
     assert out["force_relerr"] < 1e-5, out
     assert out["finite"], out
     assert "spatial" in out["out_sharding"], out
+
+
+_THERMO = textwrap.dedent(
+    """
+    import json
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    assert jax.device_count() == 8, jax.devices()
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel.spatial import make_spatial_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    n = 512
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.5)
+    mesh = Mesh(np.array(jax.devices()), ("spatial",))
+    r = make_spatial_lj_runner(
+        mesh, fluid.potential, n,
+        temperature=120.0 * units.kelvin,
+        timestep=2.0 * units.femtoseconds,
+        topology=fluid.topology, tm=8,
+    )
+    st = r.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=7,
+    )
+    st = r.run(st, 400)
+    v = r.velocities(st)
+    kT_kin = float(jnp.mean(39.9 * jnp.sum(v * v, axis=1)) / 3.0)
+    print(json.dumps({
+        "kT_kin": kT_kin,
+        "kT": 0.00831446 * 120.0,
+        "E": float(r.energy(st)),
+    }))
+    """
+)
+
+
+@pytest.mark.slow
+def test_spatial_runner_8dev_thermalizes():
+    """400 steps on 8 devices: kinetic temperature reaches the thermostat
+    band and the energy is finite."""
+    out = _run_on_cpu_devices(_THERMO, n_devices=8, timeout=900)
+    import numpy as np
+    assert np.isfinite(out["E"]), out
+    assert abs(out["kT_kin"] - out["kT"]) / out["kT"] < 0.2, out
