@@ -22,7 +22,8 @@ capability the north star mandates: replica-parallel sampling over a
 
 from .mesh import make_replica_mesh, replica_sharding
 from .multistate import MeshMultiStateSampler
-from .spatial import make_sharded_lj_force, make_spatial_lj_runner
+from .spatial import (make_sharded_lj_force, make_spatial_band_lj_runner,
+                      make_spatial_lj_runner)
 from .tempering import ParallelTemperingSampler
 
 __all__ = [
@@ -32,4 +33,5 @@ __all__ = [
     "ParallelTemperingSampler",
     "make_sharded_lj_force",
     "make_spatial_lj_runner",
+    "make_spatial_band_lj_runner",
 ]

@@ -393,3 +393,363 @@ def make_spatial_lj_runner(
             return op.force_energy_t(state.x, state.box_diag)[1]
 
     return SpatialRunner()
+
+
+def _make_row_band_force(n, n_pad, rows_per_dev, tm, w, sigma, epsilon,
+                         cutoff, interpret):
+    """Per-device BANDED row-slab kernel: each device's rows against the
+    cyclic x-band [-w, +w] of the globally x-sorted particle axis.
+
+    Both band directions are evaluated (no Newton reaction writes), so
+    devices never accumulate into each other's rows -- 2x the pair math
+    of the single-chip band kernel (ops/lj_band.py) in exchange for zero
+    cross-device reduction; per-device work is O(N w / D) instead of the
+    dense slab kernel's O(N^2 / D).
+    """
+    sigma2, eps4, cutoff2 = sigma * sigma, 4.0 * epsilon, cutoff * cutoff
+    n_tiles = n_pad // tm
+    # tiles covering [-w, +w] around the row tile, plus slop for the
+    # padding gap between rank n-1 and rank 0 (same argument as the
+    # single-chip band kernel); never more than all tiles
+    K = min((w + tm - 1) // tm + 2, n_tiles)
+    n_band_tiles = min(2 * K + 1, n_tiles)
+
+    def kernel_fn(pos3, box_diag, row_offset):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(pos_ref, box_ref, off_ref, force_ref):
+            i = pl.program_id(0)
+            Lx = box_ref[0, 0]
+            Ly = box_ref[0, 1]
+            Lz = box_ref[0, 2]
+            off = off_ref[0, 0]
+            row0 = off + i * tm
+            rt = row0 // tm
+            xi = pos_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
+            yi = pos_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
+            zi = pos_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
+            rid = row0 + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+            rvalid = rid < n
+
+            def body(k, acc):
+                fx, fy, fz = acc
+                jt = jax.lax.rem(rt + k - K + 2 * n_tiles, n_tiles)
+                col0 = jt * tm
+                xj = pos_ref[0, pl.ds(col0, tm)].reshape(1, tm)
+                yj = pos_ref[1, pl.ds(col0, tm)].reshape(1, tm)
+                zj = pos_ref[2, pl.ds(col0, tm)].reshape(1, tm)
+                cid = col0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, tm), 1
+                )
+                # cyclic rank distance over the REAL n ranks; both band
+                # directions, self excluded
+                delta = jax.lax.rem(cid - rid + n, n)
+                pm = (
+                    rvalid & (cid < n)
+                    & (delta >= 1)
+                    & ((delta <= w) | (delta >= n - w))
+                )
+                dx = xi - xj
+                dy = yi - yj
+                dz = zi - zj
+                dx = dx - Lx * jnp.floor(dx / Lx + 0.5)
+                dy = dy - Ly * jnp.floor(dy / Ly + 0.5)
+                dz = dz - Lz * jnp.floor(dz / Lz + 0.5)
+                r2 = dx * dx + dy * dy + dz * dz
+                m = (r2 < cutoff2) & pm
+                r2s = jnp.maximum(r2, 1e-4 * sigma2)
+                inv = 1.0 / r2s
+                i2 = sigma2 * inv
+                i6 = i2 * i2 * i2
+                coef = jnp.where(
+                    m, (6.0 * eps4) * (2.0 * i6 * i6 - i6) * inv, 0.0
+                )
+                fx = fx + jnp.sum(coef * dx, axis=1, keepdims=True)
+                fy = fy + jnp.sum(coef * dy, axis=1, keepdims=True)
+                fz = fz + jnp.sum(coef * dz, axis=1, keepdims=True)
+                return fx, fy, fz
+
+            z = jnp.zeros((tm, 1), jnp.float32)
+            fx, fy, fz = jax.lax.fori_loop(0, n_band_tiles, body, (z, z, z))
+            force_ref[0, pl.ds(i * tm, tm)] = fx[:, 0]
+            force_ref[1, pl.ds(i * tm, tm)] = fy[:, 0]
+            force_ref[2, pl.ds(i * tm, tm)] = fz[:, 0]
+
+        return pl.pallas_call(
+            kernel,
+            grid=(rows_per_dev // tm,),
+            in_specs=[
+                pl.BlockSpec((3, n_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((3, rows_per_dev), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, rows_per_dev), jnp.float32),
+            interpret=interpret,
+        )(pos3, box_diag, row_offset)
+
+    return kernel_fn
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "v", "F", "step", "box_diag", "key", "overflowed"],
+    meta_fields=[],
+)
+@_dataclass
+class SpatialBandCarry:
+    """Carry of the banded spatial runner (globally x-sorted layout;
+    replicated arrays -- only the band force is sharded per run call)."""
+
+    x: jnp.ndarray          # (3, n_pad), x-sorted
+    v: jnp.ndarray          # (3, n_pad)
+    F: jnp.ndarray          # (3, n_pad)
+    step: jnp.ndarray       # (1, 1) int32
+    box_diag: jnp.ndarray   # (1, 3)
+    key: jnp.ndarray        # base PRNG key
+    overflowed: jnp.ndarray  # () bool: band capacity / drift violation
+
+
+def make_spatial_band_lj_runner(
+    mesh: Mesh,
+    potential,
+    n_particles: int,
+    temperature,
+    timestep,
+    collision_rate=None,
+    topology=None,
+    axis_name: str = "spatial",
+    tm: int = 256,
+    margin: float = 0.15,
+    segment_steps: int = 25,
+    interpret: Optional[bool] = None,
+):
+    """Large-N spatially-sharded Langevin: banded force per device.
+
+    The production variant of :func:`make_spatial_lj_runner` for
+    N >> 10^4: the particle axis is globally x-sorted every
+    ``segment_steps`` steps (replicated -- the sort is cheap next to the
+    force at this scale), each device evaluates its contiguous row slab
+    against the cyclic x-band of width W, and the only per-step traffic
+    is the positions/forces all_gather.  Per-device pair work is
+    O(N W / D) -- the sharded analogue of the single-chip band engine
+    (ops/lj_band.py), with both band directions computed so no
+    cross-device force reduction is needed.
+
+    The band-runner invariants carry over: W is calibrated with
+    headroom at init, and ``state.overflowed`` latches if a re-sort
+    needs a wider band or any particle's x drift within a segment
+    exceeds ``margin``.  Requires identical masses (sorting permutes
+    particle identity).
+    """
+    from jax import shard_map
+
+    from .. import units
+    from ..ops.lj_band import band_width_needed, sort_by_x
+
+    if topology is None:
+        topology = potential.topology
+    n = n_particles
+    masses_host = np.asarray(topology.masses())
+    if not np.allclose(masses_host, masses_host[0]):
+        raise ValueError(
+            "the banded spatial runner sorts particles and therefore "
+            "requires identical masses"
+        )
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        tm = max(tm, 128)
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = 1.0 if collision_rate is None else units.strip_md(
+        collision_rate, 1.0 / units.picosecond
+    )
+    a_coef = float(np.exp(-gamma * dt))
+    b_coef = float(np.sqrt(1.0 - np.exp(-2.0 * gamma * dt)))
+    reach = potential.cutoff + 2.0 * margin
+
+    n_pad = _spatial_padding(n, n_dev, tm)
+    rows_per_dev = n_pad // n_dev
+    m0 = float(masses_host[0])
+    minv = jnp.float32(1.0 / m0)
+    sigv = jnp.float32(np.sqrt(kT / m0))
+    P = PartitionSpec
+
+    class SpatialBandRunner:
+        def __init__(self):
+            self.n_pad = n_pad
+            self.rows_per_dev = rows_per_dev
+            self.w = None       # resolved at init from the data
+            self._chains = {}
+
+        def init(self, positions, box_vectors, seed: int = 0
+                 ) -> SpatialBandCarry:
+            x = jnp.asarray(positions, jnp.float32).T  # (3, N)
+            x3 = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x)
+            box_diag = jnp.diagonal(
+                jnp.asarray(box_vectors, jnp.float32)
+            ).reshape(1, 3)
+            Lx = float(box_diag[0, 0])
+            x3s, _ = sort_by_x(x3, (), n)
+            xs_key = jnp.where(
+                jnp.arange(n_pad) < n, x3s[0], jnp.float32(3.0e38)
+            )
+            w_data = int(band_width_needed(xs_key, n, reach, Lx))
+            self.w = min(
+                ((int(w_data * 1.25) + 8 + 7) // 8) * 8, n_pad - 1
+            )
+            self._kernel = _make_row_band_force(
+                n, n_pad, rows_per_dev, tm, self.w, potential.sigma,
+                potential.epsilon, potential.cutoff, interpret,
+            )
+            key = jax.random.PRNGKey(seed)
+            vkey, key = jax.random.split(key)
+            v3 = sigv * jax.random.normal(vkey, (3, n_pad), jnp.float32)
+            F3 = self._force_full(x3s, box_diag)
+            return SpatialBandCarry(
+                x=x3s, v=v3, F=F3,
+                step=jnp.zeros((1, 1), jnp.int32),
+                box_diag=box_diag, key=key,
+                overflowed=jnp.asarray(False),
+            )
+
+        def _force_full(self, x_full, box_diag):
+            kernel_fn = self._kernel
+
+            def per_device(x_all, box_diag):
+                idx = jax.lax.axis_index(axis_name)
+                off11 = (idx * rows_per_dev).astype(jnp.int32).reshape(1, 1)
+                F_rows = kernel_fn(x_all, box_diag, off11)
+                return jax.lax.all_gather(
+                    F_rows, axis_name, axis=1, tiled=True
+                )
+
+            f = shard_map(
+                per_device, mesh=mesh, in_specs=(P(), P()),
+                out_specs=P(), check_vma=False,
+            )
+            return jax.jit(f)(x_full, box_diag)
+
+        def _chain(self, n_steps: int):
+            kernel_fn = self._kernel
+            S = segment_steps
+            n_seg, rem = divmod(n_steps, S)
+            assert rem == 0
+            valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+
+            def per_device(x, v, F, step0, box_diag, key, over):
+                idx = jax.lax.axis_index(axis_name)
+                off = (idx * rows_per_dev).astype(jnp.int32)
+                off11 = off.reshape(1, 1)
+                Lcol = box_diag.reshape(3, 1)
+                Lx = box_diag[0, 0]
+
+                def segment(carry, seg_i):
+                    x, v, F, over = carry
+                    xs, payload = sort_by_x(
+                        x, (v[0], v[1], v[2], F[0], F[1], F[2]), n
+                    )
+                    v2 = jnp.stack(payload[0:3])
+                    F2 = jnp.stack(payload[3:6])
+                    xs_key = jnp.where(
+                        jnp.arange(n_pad) < n, xs[0], jnp.float32(3.0e38)
+                    )
+                    w_need = band_width_needed(xs_key, n, reach, Lx)
+                    over = over | (w_need > self.w)
+                    ref_x = xs[0]
+
+                    def step(c, s):
+                        x, v, F = c
+                        gstep = step0[0, 0] + seg_i * S + s
+                        v1 = v + (0.5 * dt) * F * minv
+                        x1 = x + (0.5 * dt) * v1
+                        nkey = jax.random.fold_in(key, gstep)
+                        noise = jax.random.normal(
+                            nkey, (3, n_pad), jnp.float32
+                        )
+                        v2 = a_coef * v1 + b_coef * sigv * noise
+                        x2 = x1 + (0.5 * dt) * v2
+                        x2 = x2 - jnp.floor(x2 / Lcol) * Lcol
+                        F_rows = kernel_fn(x2, box_diag, off11)
+                        F_new = jax.lax.all_gather(
+                            F_rows, axis_name, axis=1, tiled=True
+                        )
+                        v3 = v2 + (0.5 * dt) * F_new * minv
+                        return (x2, v3, F_new), None
+
+                    (xo, vo, Fo), _ = jax.lax.scan(
+                        step, (xs, v2, F2), jnp.arange(S)
+                    )
+                    # band validity: per-particle x drift within the
+                    # segment must stay under the margin (min-imaged)
+                    dx = xo[0] - ref_x
+                    dx = dx - Lx * jnp.round(dx / Lx)
+                    over = over | (
+                        jnp.max(jnp.abs(dx) * valid) > margin
+                    ) | ~jnp.all(jnp.isfinite(xo[0] * valid))
+                    return (xo, vo, Fo, over), None
+
+                (x, v, F, over), _ = jax.lax.scan(
+                    segment, (x, v, F, over), jnp.arange(n_seg)
+                )
+                return x, v, F, over
+
+            return shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+
+        def run(self, state: SpatialBandCarry,
+                n_steps: int) -> SpatialBandCarry:
+            S = segment_steps
+            n_whole = (n_steps // S) * S
+            if n_steps % S:
+                raise ValueError(
+                    f"n_steps must be a multiple of segment_steps={S}"
+                )
+            if n_whole not in self._chains:
+                self._chains[n_whole] = jax.jit(self._chain(n_whole))
+            x, v, F, over = self._chains[n_whole](
+                state.x, state.v, state.F, state.step, state.box_diag,
+                state.key, state.overflowed,
+            )
+            return SpatialBandCarry(
+                x=x, v=v, F=F, step=state.step + n_whole,
+                box_diag=state.box_diag, key=state.key, overflowed=over,
+            )
+
+        def check(self, state: SpatialBandCarry):
+            if bool(state.overflowed):
+                raise RuntimeError(
+                    "banded spatial runner invariant violated (band "
+                    "capacity or per-segment x drift) -- increase margin "
+                    "or reduce segment_steps and re-run"
+                )
+
+        def positions(self, state: SpatialBandCarry):
+            return state.x[:, :n].T
+
+        def velocities(self, state: SpatialBandCarry):
+            return state.v[:, :n].T
+
+        def energy(self, state: SpatialBandCarry):
+            from ..ops.lj_dense import LJDensePallas
+
+            op = LJDensePallas(
+                n, potential.sigma, potential.epsilon, potential.cutoff,
+                tm=tm, tn=tm, triangle=False, interpret=interpret,
+                n_pad=n_pad,
+            )
+            return op.force_energy_t(state.x, state.box_diag)[1]
+
+    return SpatialBandRunner()
