@@ -178,7 +178,10 @@ def unwrap_trajectory(frames, box_diag):
     positions into the box every step.
     """
     frames = jnp.asarray(frames)
-    L = jnp.asarray(box_diag).reshape(1, 1, 3)
+    L = jnp.asarray(box_diag)
+    if L.ndim == 2:  # accept full (3, 3) box_vectors like the RDF does
+        L = jnp.diagonal(L)
+    L = L.reshape(1, 1, 3)
     d = jnp.diff(frames, axis=0)
     d = d - L * jnp.round(d / L)
     return jnp.concatenate(

@@ -408,10 +408,14 @@ def _make_row_band_force(n, n_pad, rows_per_dev, tm, w, sigma, epsilon,
     """
     sigma2, eps4, cutoff2 = sigma * sigma, 4.0 * epsilon, cutoff * cutoff
     n_tiles = n_pad // tm
-    # tiles covering [-w, +w] around the row tile, plus slop for the
-    # padding gap between rank n-1 and rank 0 (same argument as the
-    # single-chip band kernel); never more than all tiles
-    K = min((w + tm - 1) // tm + 2, n_tiles)
+    # tiles covering [-w, +w] around the row tile.  The cyclic rank
+    # distance runs over the REAL n ranks, but tiles index the PADDED
+    # array: a wrap-around partner sits up to (n_pad - n) extra slots
+    # away, and _spatial_padding's gap can span MANY tiles (up to
+    # n_dev*tm - 1 ranks) -- unlike the single-chip band kernel whose
+    # gap is < tm.  Window the full padded distance or wrap pairs are
+    # silently dropped.
+    K = min((w + (n_pad - n) + tm - 1) // tm + 2, n_tiles)
     n_band_tiles = min(2 * K + 1, n_tiles)
 
     def kernel_fn(pos3, box_diag, row_offset):
@@ -589,9 +593,14 @@ def make_spatial_band_lj_runner(
             self.rows_per_dev = rows_per_dev
             self.w = None       # resolved at init from the data
             self._chains = {}
+            self._energy_op = None
 
         def init(self, positions, box_vectors, seed: int = 0
                  ) -> SpatialBandCarry:
+            # a re-init recalibrates w and rebuilds the kernel: drop any
+            # chains traced against the previous system
+            self._chains = {}
+            self._energy_op = None
             x = jnp.asarray(positions, jnp.float32).T  # (3, N)
             x3 = jnp.zeros((3, n_pad), jnp.float32).at[:, :n].set(x)
             box_diag = jnp.diagonal(
@@ -743,13 +752,16 @@ def make_spatial_band_lj_runner(
             return state.v[:, :n].T
 
         def energy(self, state: SpatialBandCarry):
-            from ..ops.lj_dense import LJDensePallas
+            if getattr(self, "_energy_op", None) is None:
+                from ..ops.lj_dense import LJDensePallas
 
-            op = LJDensePallas(
-                n, potential.sigma, potential.epsilon, potential.cutoff,
-                tm=tm, tn=tm, triangle=False, interpret=interpret,
-                n_pad=n_pad,
-            )
-            return op.force_energy_t(state.x, state.box_diag)[1]
+                self._energy_op = LJDensePallas(
+                    n, potential.sigma, potential.epsilon,
+                    potential.cutoff, tm=tm, tn=tm, triangle=False,
+                    interpret=interpret, n_pad=n_pad,
+                )
+            return self._energy_op.force_energy_t(
+                state.x, state.box_diag
+            )[1]
 
     return SpatialBandRunner()

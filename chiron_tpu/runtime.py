@@ -545,7 +545,7 @@ def make_culled_lj_runner(
             x3s, _ = sort_by_key(key, x3, ())
             # capacity: exact upper bound first, then tight + headroom
             nr, nc = n_pad // md.tm, n_pad // md.tn
-            cap_max = nr * nc + nr * md.unroll  # + worst-case null padding
+            cap_max = nr * nc  # exact bound: every rect at most once
             probe = build_tile_pairs(
                 x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
                 capacity=cap_max,

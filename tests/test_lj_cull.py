@@ -88,6 +88,23 @@ def test_culled_force_actually_culls(sorted_system):
     assert int(pairs.count[0, 0]) < nr * nc  # some rectangles were culled
 
 
+def test_mxu_reduce_force_matches_vpu(sorted_system):
+    """The mxu_reduce=True reduction path (dot_general against ones on
+    the MXU) must produce the same forces as the default VPU reductions
+    (CLAUDE.md: every kernel numeric path needs an interpret-mode oracle
+    check)."""
+    md, pos3s, box_diag = sorted_system
+    md_mxu = CulledLJMD(
+        N, SIGMA, EPS, CUTOFF,
+        masses_lane=np.full(N, 39.9), dt=0.002, gamma=1.0,
+        kT=0.008314 * 120, tm=TM, tn=TN, slack=0.2, mxu_reduce=True,
+    )
+    pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
+    F_vpu = md.force(pos3s, box_diag, pairs, approx_recip=False)
+    F_mxu = md_mxu.force(pos3s, box_diag, pairs, approx_recip=False)
+    assert float(jnp.max(jnp.abs(F_vpu - F_mxu))) < 1e-4
+
+
 def test_scatter_placement_matches_onehot(sorted_system, monkeypatch):
     """The large-N scatter placement must build the identical list as the
     one-hot-matmul placement (the builder switches on entries*capacity)."""

@@ -250,6 +250,50 @@ def test_row_band_kernel_selective_band_matches_oracle():
     assert float(jnp.max(jnp.abs(F[:, :n] - F_ref))) / scale < 1e-5
 
 
+def test_row_band_kernel_multi_tile_padding_gap():
+    """Regression: with n_pad - n spanning several tiles (the
+    multi-device padding), wrap-around band pairs sit extra padding
+    tiles away; the tile window must cover the full padded distance or
+    boundary forces are silently wrong."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chiron_tpu.ops.lj_band import band_width_needed, sort_by_x
+    from chiron_tpu.parallel.spatial import _make_row_band_force
+
+    n, n_pad, tm = 450, 512, 8   # 62-rank / ~7-tile padding gap
+    sigma, eps, cutoff, margin = 0.34, 0.99, 1.02, 0.15
+    L = (n / 0.1) ** (1 / 3) * sigma
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, L, size=(3, n_pad)).astype(np.float32)
+    # guarantee in-cutoff pairs across the periodic x boundary
+    x[0, :6] = rng.uniform(0, 0.2, 6)
+    x[0, 6:12] = rng.uniform(L - 0.2, L, 6)
+    x3s, _ = sort_by_x(jnp.asarray(x), (), n)
+    xs_key = jnp.where(jnp.arange(n_pad) < n, x3s[0], jnp.float32(3e38))
+    reach = cutoff + 2 * margin
+    w = int(band_width_needed(xs_key, n, reach, L)) + 8
+
+    kernel_fn = _make_row_band_force(
+        n, n_pad, n_pad, tm, w, sigma, eps, cutoff, interpret=True)
+    box = jnp.asarray([[L, L, L]], jnp.float32)
+    F = kernel_fn(x3s, box, jnp.zeros((1, 1), jnp.int32))
+
+    p = x3s[:, :n].T
+    d = p[:, None, :] - p[None, :, :]
+    d = d - L * jnp.round(d / L)
+    r2 = jnp.sum(d * d, -1)
+    ids = jnp.arange(n)
+    m = (r2 < cutoff * cutoff) & (ids[:, None] != ids[None, :])
+    r2s = jnp.where(m, r2, 1.0)
+    inv2 = (sigma * sigma) / r2s
+    inv6 = inv2 * inv2 * inv2
+    coef = jnp.where(m, 24 * eps * (2 * inv6 * inv6 - inv6) / r2s, 0.0)
+    F_ref = jnp.sum(coef[..., None] * d, axis=1).T
+    scale = float(jnp.max(jnp.abs(F_ref)))
+    assert float(jnp.max(jnp.abs(F[:, :n] - F_ref))) / scale < 1e-5
+
+
 @pytest.mark.slow
 def test_spatial_runner_8dev_thermalizes():
     """400 steps on 8 devices: kinetic temperature reaches the thermostat
