@@ -1026,3 +1026,194 @@ def make_lj_runner(
     raise ValueError(
         f"unknown engine {engine!r}; pick auto/dense/culled/strip/band"
     )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "v", "F", "key", "box_diag", "vmax_scale",
+                 "n_accepted", "n_proposed", "step"],
+    meta_fields=[],
+)
+@dataclass
+class NPTCarry:
+    """Carry of the fused NpT runner (dense-kernel layout; the barostat's
+    autotuned volume scale and acceptance statistics are carry data)."""
+
+    x: jnp.ndarray           # (3, n_pad)
+    v: jnp.ndarray           # (3, n_pad)
+    F: jnp.ndarray           # (3, n_pad)
+    key: jnp.ndarray
+    box_diag: jnp.ndarray    # (1, 3)
+    vmax_scale: jnp.ndarray  # () f32 barostat max relative volume change
+    n_accepted: jnp.ndarray  # () i32 barostat acceptances
+    n_proposed: jnp.ndarray  # () i32 barostat attempts
+    step: jnp.ndarray        # () i32 cumulative MD steps
+
+
+def make_npt_lj_runner(
+    potential,
+    n_particles: int,
+    temperature=300.0 * units.kelvin,
+    pressure=1.0 * units.atmosphere,
+    timestep=2.0 * units.femtoseconds,
+    collision_rate=1.0 / units.picoseconds,
+    topology=None,
+    tm: int = 512,
+    barostat_interval: int = 25,
+    volume_max_scale: float = 0.01,
+    autotune: bool = True,
+    autotune_interval: int = 20,
+    exact_forces: bool = False,
+):
+    """Fused NpT production runner: BAOAB Langevin + on-device MC barostat.
+
+    The reference samples NpT with a pure-MC barostat driven one proposal
+    at a time from the host (reference chiron/mcmc.py:790-1009); this
+    runner compiles the whole hybrid chain -- Langevin segments with an
+    isotropic-volume Metropolis move every ``barostat_interval`` steps --
+    into ONE ``lax.scan``.  The dense Pallas kernel takes the box as
+    DATA, so volume moves recompile nothing; the move's acceptance uses
+    the McDonald-1972 NpT Jacobian ``+ N ln(V'/V)`` and the reference's
+    autotune rule (/1.1 below 25% acceptance, x1.1 above 75%, cap 0.3)
+    runs on device with the scale as carry data.
+
+    Dense-engine domain (N up to ~8k); volume moves leave velocities
+    untouched, matching the reference semantics.
+    """
+    from .ops.lj_dense import LJDensePallas
+
+    if topology is None:
+        topology = potential.topology
+    n = n_particles
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    beta = 1.0 / kT
+    P_md = units.pressure_to_md(pressure)
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+    a = float(np.exp(-gamma * dt))
+    b = float(np.sqrt(1.0 - np.exp(-2.0 * gamma * dt)))
+
+    op = LJDensePallas(
+        n=n, sigma=potential.sigma, epsilon=potential.epsilon,
+        cutoff=potential.cutoff, tm=tm, tn=tm,
+    )
+    n_pad = op.n_pad
+    m_lane = jnp.ones((1, n_pad), jnp.float32)
+    m_lane = m_lane.at[0, :n].set(
+        jnp.asarray(topology.masses(), dtype=jnp.float32)
+    )
+    sigv = jnp.sqrt(kT / m_lane)
+    approx = not exact_forces
+
+    def barostat_attempt(carry: NPTCarry) -> NPTCarry:
+        key, k_prop, k_acc = jax.random.split(carry.key, 3)
+        V = jnp.prod(carry.box_diag)
+        dV = jax.random.uniform(
+            k_prop, minval=-1.0, maxval=1.0
+        ) * carry.vmax_scale * V
+        V_new = V + dV
+        s = jnp.power(V_new / V, 1.0 / 3.0)
+        x_new = carry.x * s
+        box_new = carry.box_diag * s
+        # one fused kernel call each: energy of the current and the
+        # scaled configuration (the scaled call's force is kept on accept)
+        _, U = op.force_energy_t(carry.x, carry.box_diag)
+        F_new, U_new = op.force_energy_t(x_new, box_new)
+        log_ratio = (
+            -beta * ((U_new - U) + P_md * (V_new - V))
+            + n * jnp.log(V_new / V)
+        )
+        # NaN-poisoned proposals reject (reference mcmc.py:428)
+        log_ratio = jnp.where(jnp.isnan(U_new), -jnp.inf, log_ratio)
+        accept = jnp.log(
+            jax.random.uniform(k_acc, minval=1e-38)
+        ) < log_ratio
+        x = jnp.where(accept, x_new, carry.x)
+        box = jnp.where(accept, box_new, carry.box_diag)
+        F = jnp.where(accept, F_new, carry.F)
+        n_acc = carry.n_accepted + accept.astype(jnp.int32)
+        n_prop = carry.n_proposed + 1
+        vmax = carry.vmax_scale
+        if autotune:
+            due = (n_prop % autotune_interval) == 0
+            ratio = n_acc.astype(jnp.float32) / jnp.maximum(n_prop, 1)
+            vmax = jnp.where(due & (ratio < 0.25), vmax / 1.1, vmax)
+            vmax = jnp.where(
+                due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3), vmax
+            )
+        return NPTCarry(
+            x=x, v=carry.v, F=F, key=key, box_diag=box,
+            vmax_scale=vmax, n_accepted=n_acc, n_proposed=n_prop,
+            step=carry.step,
+        )
+
+    def step_fn(carry: NPTCarry, _=None):
+        key, subkey = jax.random.split(carry.key)
+        x, v, F = carry.x, carry.v, carry.F
+        box = carry.box_diag
+        v = v + (0.5 * dt) * F / m_lane
+        x = x + (0.5 * dt) * v
+        noise = jax.random.normal(subkey, x.shape, dtype=x.dtype)
+        v = a * v + b * sigv * noise
+        x = x + (0.5 * dt) * v
+        Lcol = box.reshape(3, 1)
+        x = x - jnp.floor(x / Lcol) * Lcol
+        F = op.force_only_t(x, box, approx_recip=approx)
+        v = v + (0.5 * dt) * F / m_lane
+        carry = NPTCarry(
+            x=x, v=v, F=F, key=key, box_diag=box,
+            vmax_scale=carry.vmax_scale, n_accepted=carry.n_accepted,
+            n_proposed=carry.n_proposed, step=carry.step + 1,
+        )
+        carry = jax.lax.cond(
+            carry.step % barostat_interval == 0,
+            barostat_attempt, lambda c: c, carry,
+        )
+        return carry, None
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def _run(carry, n_steps: int):
+        carry, _ = jax.lax.scan(step_fn, carry, length=n_steps)
+        return carry
+
+    class NPTRunner:
+        def __init__(self):
+            self.op = op
+
+        def init(self, positions, box_vectors, seed: int = 0) -> NPTCarry:
+            x3 = op.pad_positions(jnp.asarray(positions, jnp.float32))
+            box_diag = jnp.diagonal(
+                jnp.asarray(box_vectors, jnp.float32)
+            ).reshape(1, 3)
+            key = jax.random.PRNGKey(seed)
+            key, vkey = jax.random.split(key)
+            v3 = sigv * jax.random.normal(vkey, (3, n_pad))
+            F3 = op.force_only_t(x3, box_diag, approx_recip=approx)
+            return NPTCarry(
+                x=x3, v=v3, F=F3, key=key, box_diag=box_diag,
+                vmax_scale=jnp.float32(volume_max_scale),
+                n_accepted=jnp.int32(0), n_proposed=jnp.int32(0),
+                step=jnp.int32(0),
+            )
+
+        def run(self, state: NPTCarry, n_steps: int) -> NPTCarry:
+            return _run(state, n_steps)
+
+        def volume(self, state: NPTCarry):
+            return jnp.prod(state.box_diag)
+
+        def acceptance(self, state: NPTCarry):
+            prop = int(state.n_proposed)
+            return (int(state.n_accepted) / prop) if prop else 0.0
+
+        def energy(self, state: NPTCarry):
+            return op.force_energy_t(state.x, state.box_diag)[1]
+
+        def positions(self, state: NPTCarry):
+            return op.unpad(state.x)
+
+        def velocities(self, state: NPTCarry):
+            return op.unpad(state.v)
+
+    return NPTRunner()
