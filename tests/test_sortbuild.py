@@ -66,6 +66,31 @@ def test_sort_build_matches_xla_oracle(state):
     assert bool(pairs_o.overflowed) == bool(pairs_k.overflowed)
 
 
+def test_sort_build_slab_key_matches_xla_oracle(state):
+    """The (x-slab, y) key path -- the production sort above ~6.5 reaches
+    of box width -- must also match the XLA oracle exactly."""
+    x, v, F, box = state
+    nslab = 4
+    xs_k, vs_k, fs_k, pairs_k = sort_build_raw(
+        x, v, F, box, n=N, tm=TM, tn=TN, nslab=nslab, cutoff=CUTOFF,
+        slack=SLACK, capacity=256, interpret=True,
+    )
+    key = slab_y_key(x, N, nslab, L)
+    xs_o, payload = sort_by_key(
+        key, x, (v[0], v[1], v[2], F[0], F[1], F[2])
+    )
+    assert jnp.array_equal(xs_k[:, :N], xs_o[:, :N])
+    assert jnp.array_equal(
+        vs_k[:, :N], jnp.stack(payload[0:3])[:, :N]
+    )
+    pairs_o = build_tile_pairs(xs_o, N, TM, TN, box, CUTOFF, SLACK, 256)
+    for name in ("cols", "ccx", "ptr2", "rowcx", "count"):
+        assert jnp.array_equal(
+            getattr(pairs_o, name), getattr(pairs_k, name)
+        ), name
+    assert bool(pairs_o.overflowed) == bool(pairs_k.overflowed)
+
+
 def test_sort_build_wrapper_placement_matches(state, monkeypatch):
     """Above the VMEM limit the kernel emits the slot matrix and the
     wrapper scatters in XLA -- identical TilePairList either way."""
