@@ -81,3 +81,41 @@ def test_npt_mean_volume_matches_ensemble_expectation():
     V_expect = (n + 1) * kT / P_md
     V_mean = float(np.mean(vols))
     assert abs(V_mean - V_expect) / V_expect < 0.10, (V_mean, V_expect)
+
+
+def test_fused_rebuild_rejects_cadence_params():
+    """fused_rebuild sorts/rebuilds every segment; non-unit cadences must
+    raise instead of being silently ignored."""
+    from chiron_tpu.runtime import make_culled_lj_runner
+
+    fluid = LennardJonesFluid(nparticles=4000, reduced_density=0.8)
+    r = make_culled_lj_runner(
+        potential=fluid.potential, n_particles=4000,
+        topology=fluid.topology, fused_rebuild=True, sort_every=4,
+    )
+    st = r.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=0,
+    )
+    with pytest.raises(ValueError, match="sort_every"):
+        r.run(st, 50)
+
+
+def test_spatial_band_runner_rejects_nonuniform_masses():
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from chiron_tpu.parallel import make_spatial_band_lj_runner
+    from chiron_tpu.topology import Topology
+
+    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.2)
+    topo = Topology.from_masses(np.linspace(10.0, 40.0, 64))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    with pytest.raises(ValueError, match="identical masses"):
+        make_spatial_band_lj_runner(
+            mesh, fluid.potential, 64,
+            temperature=120.0 * units.kelvin,
+            timestep=2.0 * units.femtoseconds, topology=topo,
+        )
