@@ -271,7 +271,7 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                     n, n_pad, tm, tn,
                     Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
                     inv_sigma, eps_scale, cutoff2_s, approx_recip,
-                    unroll, mxu_reduce=False):
+                    unroll, mxu_reduce=False, prefetch=False, e_ref=None):
     """Row-grouped culled force pass: for each row tile, the row coordinate
     vectors are loaded/canonicalized once and the row accumulator carried
     across that row's list entries (single row RMW at the end); each entry
@@ -326,19 +326,32 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
         zi = zi * inv_sigma
         rid = row0 + iota_r
 
+        def load_col(k):
+            """Load + canonicalize one entry's (3, tn) col slice.
+
+            Factored out of the pair math so the prefetch path can issue
+            the NEXT group's loads while the current group computes (the
+            load->use dependency otherwise serializes each entry behind
+            its VMEM dynamic-slice latency)."""
+            c = cols_ref[0, k]
+            col0 = pl.multiple_of(c * tn, tn)
+            ccx = ccx_ref[0, k]
+            cj3 = x_ref[:, pl.ds(col0, tn)]  # ONE (3, tn) slice
+            xj = cj3[0].reshape(1, tn)
+            yj = cj3[1].reshape(1, tn)
+            zj = cj3[2].reshape(1, tn)
+            xj = (
+                xj - Lx * jnp.floor((xj - ccx) * inv_Lx + 0.5)
+            ) * inv_sigma
+            return col0, xj, yj, zj
+
         def make_inner(general: bool):
-            def inner(k, acc):
-                fx, fy, fz = acc
-                c = cols_ref[0, k]
-                col0 = pl.multiple_of(c * tn, tn)
-                ccx = ccx_ref[0, k]
-                cj3 = x_ref[:, pl.ds(col0, tn)]  # ONE (3, tn) slice
-                xj = cj3[0].reshape(1, tn)
-                yj = cj3[1].reshape(1, tn)
-                zj = cj3[2].reshape(1, tn)
-                xj = (
-                    xj - Lx * jnp.floor((xj - ccx) * inv_Lx + 0.5)
-                ) * inv_sigma
+            def compute(col0, xj, yj, zj, acc):
+                if e_ref is None:
+                    fx, fy, fz = acc
+                else:
+                    fx, fy, fz, ea = acc
+                col0 = pl.multiple_of(col0, tn)
                 # x via the common frame; y/z per-pair minimum image
                 dx = xi - xj
                 dy = yi - yj * inv_sigma
@@ -380,30 +393,74 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 fx = fx + _sum1(tx)
                 fy = fy + _sum1(ty)
                 fz = fz + _sum1(tz)
-                return fx, fy, fz
+                if e_ref is None:
+                    return fx, fy, fz
+                # pair energy 4 eps (s12 - s6) = 4 eps i6 (i6 - 1);
+                # accumulate the raw i6 (i6 - 1) sum, scaled once at the
+                # end of the pass (each ordered pair appears exactly once
+                # across the whole list, so this is the full potential)
+                ea = ea + _sum1(jnp.where(m, (i6 - 1.0) * i6, 0.0))
+                return fx, fy, fz, ea
 
-            return inner
+            def inner(k, acc):
+                return compute(*load_col(k), acc)
+
+            return inner, compute
 
         z = jnp.zeros((tm, 1), jnp.float32)
         g0 = ptr2_ref[0, 2 * i]
         g1 = ptr2_ref[0, 2 * i + 1]
         g2 = ptr2_ref[0, 2 * i + 2]
-        acc = jax.lax.fori_loop(g0, g1, make_inner(True), (z, z, z))
+        inner_gen = make_inner(True)[0]
+        acc0 = (z, z, z) if e_ref is None else (z, z, z, z)
+        acc = jax.lax.fori_loop(g0, g1, inner_gen, acc0)
         # fast segment: several entries per iteration cuts loop overhead
         # and multiplies the independent instruction streams in flight;
         # the remainder runs in a plain tail loop (no null-entry padding:
         # a padded entry would cost a FULL masked tile visit)
-        inner_fast = make_inner(False)
-
-        def inner_u(k2, acc):
-            for u in range(unroll):
-                acc = inner_fast(g1 + unroll * k2 + u, acc)
-            return acc
-
+        inner_fast, compute_fast = make_inner(False)
         n_fast = g2 - g1
-        g_tail = g1 + (n_fast // unroll) * unroll
-        acc = jax.lax.fori_loop(0, n_fast // unroll, inner_u, acc)
-        fx, fy, fz = jax.lax.fori_loop(g_tail, g2, inner_fast, acc)
+        n_grp = n_fast // unroll
+        g_tail = g1 + n_grp * unroll
+
+        if prefetch:
+            # software pipeline at group granularity: iteration k2 computes
+            # the group loaded by iteration k2-1 (or the prologue) while
+            # issuing the NEXT group's col-slice loads -- the loads carry
+            # no dependency on the current group's math, so the scheduler
+            # can overlap them instead of stalling each entry behind its
+            # dynamic-slice latency.  Out-of-range indices clamp to the
+            # last fast entry (any live list slot is safe to read; the
+            # clamped group is never computed).
+            def load_grp(base):
+                return tuple(
+                    load_col(jnp.clip(base + u, g0, g2 - 1))
+                    for u in range(unroll)
+                )
+
+            def inner_u_pf(k2, carry):
+                acc, pre = carry
+                nxt = load_grp(g1 + (k2 + 1) * unroll)
+                for u in range(unroll):
+                    acc = compute_fast(*pre[u], acc)
+                return acc, nxt
+
+            acc = jax.lax.fori_loop(
+                0, n_grp, inner_u_pf, (acc, load_grp(g1))
+            )[0]
+        else:
+            def inner_u(k2, acc):
+                for u in range(unroll):
+                    acc = inner_fast(g1 + unroll * k2 + u, acc)
+                return acc
+
+            acc = jax.lax.fori_loop(0, n_grp, inner_u, acc)
+        acc = jax.lax.fori_loop(g_tail, g2, inner_fast, acc)
+        if e_ref is None:
+            fx, fy, fz = acc
+        else:
+            fx, fy, fz, ea = acc
+            e_ref[0, 0] = e_ref[0, 0] + jnp.sum(ea)
         fi3 = jnp.concatenate(
             [fx.reshape(1, tm), fy.reshape(1, tm), fz.reshape(1, tm)],
             axis=0,
@@ -416,7 +473,8 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
 
 
 def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                       approx_recip, unroll, mxu_reduce=False):
+                       approx_recip, unroll, mxu_reduce=False,
+                       prefetch=False):
     inv_sigma = 1.0 / sigma
     eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
     cutoff2_s = (cutoff / sigma) ** 2
@@ -430,7 +488,7 @@ def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             n, n_pad, tm, tn,
             Lx, 1.0 / Lx, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
             inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
-            mxu_reduce,
+            mxu_reduce, prefetch,
         )
 
     return kernel
@@ -439,19 +497,20 @@ def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "tm", "tn", "sigma", "epsilon", "cutoff",
-                     "approx_recip", "interpret", "unroll", "mxu_reduce"),
+                     "approx_recip", "interpret", "unroll", "mxu_reduce",
+                     "prefetch"),
 )
 def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
                      tn: int, sigma: float, epsilon: float, cutoff: float,
                      approx_recip: bool, interpret: bool, unroll: int = 2,
-                     mxu_reduce: bool = False):
+                     mxu_reduce: bool = False, prefetch: bool = False):
     """Standalone culled force (oracle-parity surface; the fused MD kernel
     below is the production path)."""
     n_pad = pos3.shape[1]
     capacity = pairs.cols.shape[1]
     nr = n_pad // tm
     kernel = _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
-                                approx_recip, unroll, mxu_reduce)
+                                approx_recip, unroll, mxu_reduce, prefetch)
     smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
@@ -470,9 +529,82 @@ def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
       pairs.rowcx, pos3)
 
 
+def _make_force_energy_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
+                              approx_recip, unroll, prefetch=False):
+    inv_sigma = 1.0 / sigma
+    eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
+    e_scale = 4.0 * epsilon
+    cutoff2_s = (cutoff / sigma) ** 2
+
+    def kernel(box_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+               pos_ref, force_ref, e_ref):
+        force_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
+        e_ref[0, 0] = 0.0
+        Lx, Ly, Lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+        _row_force_pass(
+            pos_ref, force_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+            n, n_pad, tm, tn,
+            Lx, 1.0 / Lx, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
+            inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
+            False, prefetch, e_ref=e_ref,
+        )
+        e_ref[0, 0] = e_scale * e_ref[0, 0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "tm", "tn", "sigma", "epsilon", "cutoff",
+                     "approx_recip", "interpret", "unroll", "prefetch"),
+)
+def culled_force_energy_raw(pos3, box_diag, pairs: TilePairList, n: int,
+                            tm: int, tn: int, sigma: float, epsilon: float,
+                            cutoff: float, approx_recip: bool,
+                            interpret: bool, unroll: int = 2,
+                            prefetch: bool = False):
+    """Culled force AND total potential energy in one pass.
+
+    Each ordered tile-pair entry is visited once, so the accumulated pair
+    energy is the full truncated-LJ potential (same convention as the
+    dense kernel's energy; oracle-parity test in tests/test_lj_cull.py).
+    Used by the culled NpT runner's barostat (chiron_tpu/runtime.py).
+    Positions must be wrapped into [0, L) (the fused MD path wraps every
+    step; the standalone surface inherits that precondition)."""
+    n_pad = pos3.shape[1]
+    capacity = pairs.cols.shape[1]
+    nr = n_pad // tm
+    kernel = _make_force_energy_kernel(n, n_pad, tm, tn, sigma, epsilon,
+                                       cutoff, approx_recip, unroll,
+                                       prefetch)
+    smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
+    F, e = pl.pallas_call(
+        kernel,
+        in_specs=[
+            smem((1, 3)),
+            smem((1, capacity)),      # cols
+            smem((1, capacity)),      # ccx
+            smem((1, 2 * nr + 1)),    # ptr2
+            smem((1, nr)),            # rowcx
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            smem((1, 1)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(box_diag.reshape(1, 3), pairs.cols, pairs.ccx, pairs.ptr2,
+      pairs.rowcx, pos3)
+    return F, e[0, 0]
+
+
 def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                     dt, a_coef, b_coef, approx_recip, unroll,
-                    mxu_reduce=False):
+                    mxu_reduce=False, prefetch=False):
     inv_sigma = 1.0 / sigma
     eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
     cutoff2_s = (cutoff / sigma) ** 2
@@ -556,7 +688,7 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             n, n_pad, tm, tn,
             Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
             inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
-            mxu_reduce,
+            mxu_reduce, prefetch,
         )
 
     return kernel
@@ -566,18 +698,19 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
     jax.jit,
     static_argnames=("n", "n_steps", "tm", "tn", "sigma", "epsilon",
                      "cutoff", "dt", "a_coef", "b_coef", "approx_recip",
-                     "interpret", "unroll", "mxu_reduce"),
+                     "interpret", "unroll", "mxu_reduce", "prefetch"),
 )
 def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
                   minv, sigv, n: int, n_steps: int, tm: int, tn: int,
                   sigma: float, epsilon: float, cutoff: float, dt: float,
                   a_coef: float, b_coef: float, approx_recip: bool,
-                  interpret: bool, unroll: int = 2, mxu_reduce: bool = False):
+                  interpret: bool, unroll: int = 2, mxu_reduce: bool = False,
+                  prefetch: bool = False):
     n_pad = x3.shape[1]
     capacity = pairs.rows.shape[1]
     kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                              dt, a_coef, b_coef, approx_recip, unroll,
-                             mxu_reduce)
+                             mxu_reduce, prefetch)
     full = lambda s: (0, 0)
     smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
@@ -621,7 +754,8 @@ class CulledLJMD:
     def __init__(self, n, sigma, epsilon, cutoff, masses_lane, dt, gamma, kT,
                  tm: int = 128, tn: int = 128, nslab: int = None,
                  slack: float = 0.2, n_pad: int = None, interpret=None,
-                 unroll: int = 4, mxu_reduce: bool = False):
+                 unroll: int = 4, mxu_reduce: bool = False,
+                 prefetch: bool = False):
         self.n = n
         self.sigma, self.epsilon, self.cutoff = (
             float(sigma), float(epsilon), float(cutoff)
@@ -633,6 +767,7 @@ class CulledLJMD:
         self.slack = float(slack)
         self.unroll = int(unroll)
         self.mxu_reduce = bool(mxu_reduce)
+        self.prefetch = bool(prefetch)
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
@@ -664,6 +799,18 @@ class CulledLJMD:
             pos3, box_diag, pairs, self.n, self.tm, self.tn, self.sigma,
             self.epsilon, self.cutoff, approx_recip, self.interpret,
             unroll=self.unroll, mxu_reduce=self.mxu_reduce,
+            prefetch=self.prefetch,
+        )
+
+    def force_energy(self, pos3, box_diag, pairs: TilePairList,
+                     approx_recip: bool = False):
+        """Force and total truncated-LJ potential in one culled pass
+        (exact reciprocal by default: the energy feeds Metropolis
+        acceptance ratios in the NpT runner)."""
+        return culled_force_energy_raw(
+            pos3, box_diag, pairs, self.n, self.tm, self.tn, self.sigma,
+            self.epsilon, self.cutoff, approx_recip, self.interpret,
+            unroll=self.unroll, prefetch=self.prefetch,
         )
 
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
@@ -680,6 +827,7 @@ class CulledLJMD:
             self.n, n_steps, self.tm, self.tn, self.sigma, self.epsilon,
             self.cutoff, self.dt, self.a, self.b, approx_recip,
             self.interpret, unroll=self.unroll, mxu_reduce=self.mxu_reduce,
+            prefetch=self.prefetch,
         )
         v_std = w_out + (0.5 * self.dt) * f_out * self.minv
         return x3, v_std, f_out

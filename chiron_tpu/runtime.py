@@ -403,6 +403,85 @@ class CullCarry:
     x_anchor: jnp.ndarray   # (3, n_pad) positions at last list rebuild
 
 
+def _culled_layout_init(md, dense, positions, box_vectors, sort_mode, n):
+    """Spatial-layout init shared by the culled NVT and NpT runners:
+    resolve the sort mode/slab count from the box geometry, sort, probe
+    the tile-pair count, and build the production list with 2x headroom.
+
+    Returns ``(x3s, box_diag, nslab, capacity, pairs)``; raises
+    ValueError when the box/cutoff geometry cannot satisfy the kernel's
+    constant-x-frame bound (use the dense runner instead)."""
+    from .ops.lj_cull import build_tile_pairs, slab_y_key, sort_by_key
+
+    x3 = dense.pad_positions(jnp.asarray(positions, jnp.float32))
+    box_diag = jnp.diagonal(
+        jnp.asarray(box_vectors, jnp.float32)
+    ).reshape(1, 3)
+    Lx = float(box_diag[0, 0])
+    headroom = 0.5 * Lx - md.cutoff - md.slack
+    if headroom <= 0:
+        raise ValueError(
+            "culled runner inapplicable: box under ~2 cutoffs "
+            "wide -- use make_fast_lj_runner instead"
+        )
+    mode = sort_mode
+    if mode == "auto":
+        # measured crossover (BENCH.md): the (x-slab, y) key wins
+        # once the box is ~6.5 reaches wide (slots -40% at N=16k,
+        # 2,350 -> 2,750 steps/s); below that the 128-lane tiles
+        # are too coarse for 2D culling and pure-x wins (N=4000)
+        mode = "slab" if Lx / (md.cutoff + md.slack) >= 6.5 else "x"
+    if mode == "x":
+        # pure x sort: tiles are thin x-slabs (~tm/n of the box),
+        # so the x-frame bound holds with large margin for any
+        # homogeneous system; the init probe + per-rebuild check
+        # below latch violations regardless
+        nslab = 0
+    else:
+        # slab width ~0.72 cutoff measured optimal for bbox
+        # culling; the x-frame bound requires the worst-case tile
+        # x-extent (2 slab widths: a straddling tile) to fit under
+        # L/2 - cutoff - slack, so take the thinner of the two
+        nslab_perf = max(1, int(round(Lx / (0.72 * md.cutoff))))
+        nslab_geom = int(np.ceil(2.0 * Lx / headroom))
+        nslab = max(nslab_perf, nslab_geom)
+        # a tile straddles at most 2 slabs only while slab
+        # occupancy stays above the tile size (2x headroom); the
+        # per-rebuild shift_bad check latches actual violations
+        if nslab > max(1, n // (2 * max(md.tm, md.tn))):
+            raise ValueError(
+                "culled runner inapplicable: satisfying the "
+                f"x-shift bound needs {nslab} slabs but slab "
+                "occupancy would drop below 2 tiles -- use "
+                "sort_mode='x' or make_fast_lj_runner"
+            )
+    key = slab_y_key(x3, n, nslab, Lx, Ly=float(box_diag[0, 1]))
+    x3s, _ = sort_by_key(key, x3, ())
+    # capacity: exact upper bound first, then tight + headroom
+    n_pad = md.n_pad
+    nr, nc = n_pad // md.tm, n_pad // md.tn
+    cap_max = nr * nc  # exact bound: every rect at most once
+    probe = build_tile_pairs(
+        x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
+        capacity=cap_max,
+    )
+    if bool(probe.overflowed):
+        raise ValueError(
+            "culled runner inapplicable to this box/cutoff (the "
+            "x/y shift bound is violated at init) -- use "
+            "make_fast_lj_runner instead"
+        )
+    # 2x headroom: ordered (e.g. lattice) initial configurations
+    # disorder into liquids with fatter tile bboxes
+    count = int(probe.count[0, 0])
+    capacity = min(cap_max, int(count * 2.0) + 128)
+    pairs = build_tile_pairs(
+        x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
+        capacity=capacity,
+    )
+    return x3s, box_diag, nslab, capacity, pairs
+
+
 def make_culled_lj_runner(
     potential,
     n_particles: int,
@@ -422,6 +501,7 @@ def make_culled_lj_runner(
     unroll: int = 4,
     mxu_reduce: bool = False,
     fused_rebuild: bool = False,
+    prefetch: bool = True,
 ):
     """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
 
@@ -475,6 +555,7 @@ def make_culled_lj_runner(
         masses_lane=np.asarray(masses_host, dtype=np.float32),
         dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
         n_pad=common_pad, unroll=unroll, mxu_reduce=mxu_reduce,
+        prefetch=prefetch,
     )
     n = n_particles
     n_pad = md.n_pad
@@ -496,73 +577,9 @@ def make_culled_lj_runner(
 
         def init(self, positions, box_vectors, seed: int = 0):
             self.seed = seed
-            x3 = dense.pad_positions(jnp.asarray(positions, jnp.float32))
-            box_diag = jnp.diagonal(
-                jnp.asarray(box_vectors, jnp.float32)
-            ).reshape(1, 3)
-            Lx = float(box_diag[0, 0])
-            headroom = 0.5 * Lx - md.cutoff - md.slack
-            if headroom <= 0:
-                raise ValueError(
-                    "culled runner inapplicable: box under ~2 cutoffs "
-                    "wide -- use make_fast_lj_runner instead"
-                )
-            mode = sort_mode
-            if mode == "auto":
-                # measured crossover (BENCH.md): the (x-slab, y) key wins
-                # once the box is ~6.5 reaches wide (slots -40% at N=16k,
-                # 2,350 -> 2,750 steps/s); below that the 128-lane tiles
-                # are too coarse for 2D culling and pure-x wins (N=4000)
-                mode = (
-                    "slab" if Lx / (md.cutoff + md.slack) >= 6.5 else "x"
-                )
-            if mode == "x":
-                # pure x sort: tiles are thin x-slabs (~tm/n of the box),
-                # so the x-frame bound holds with large margin for any
-                # homogeneous system; the init probe + per-rebuild check
-                # below latch violations regardless
-                self.nslab = 0
-            else:
-                # slab width ~0.72 cutoff measured optimal for bbox
-                # culling; the x-frame bound requires the worst-case tile
-                # x-extent (2 slab widths: a straddling tile) to fit under
-                # L/2 - cutoff - slack, so take the thinner of the two
-                nslab_perf = max(1, int(round(Lx / (0.72 * md.cutoff))))
-                nslab_geom = int(np.ceil(2.0 * Lx / headroom))
-                self.nslab = max(nslab_perf, nslab_geom)
-                # a tile straddles at most 2 slabs only while slab
-                # occupancy stays above the tile size (2x headroom); the
-                # per-rebuild shift_bad check latches actual violations
-                if self.nslab > max(1, n // (2 * max(md.tm, md.tn))):
-                    raise ValueError(
-                        "culled runner inapplicable: satisfying the "
-                        f"x-shift bound needs {self.nslab} slabs but slab "
-                        "occupancy would drop below 2 tiles -- use "
-                        "sort_mode='x' or make_fast_lj_runner"
-                    )
-            key = slab_y_key(x3, n, self.nslab, Lx,
-                             Ly=float(box_diag[0, 1]))
-            x3s, _ = sort_by_key(key, x3, ())
-            # capacity: exact upper bound first, then tight + headroom
-            nr, nc = n_pad // md.tm, n_pad // md.tn
-            cap_max = nr * nc  # exact bound: every rect at most once
-            probe = build_tile_pairs(
-                x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                capacity=cap_max,
-            )
-            if bool(probe.overflowed):
-                raise ValueError(
-                    "culled runner inapplicable to this box/cutoff (the "
-                    "x/y shift bound is violated at init) -- use "
-                    "make_fast_lj_runner instead"
-                )
-            # 2x headroom: ordered (e.g. lattice) initial configurations
-            # disorder into liquids with fatter tile bboxes
-            count = int(probe.count[0, 0])
-            self.capacity = min(cap_max, int(count * 2.0) + 128)
-            pairs = build_tile_pairs(
-                x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-                capacity=self.capacity,
+            x3s, box_diag, self.nslab, self.capacity, pairs = (
+                _culled_layout_init(md, dense, positions, box_vectors,
+                                    sort_mode, n)
             )
             key0 = jax.random.PRNGKey(seed)
             _, vkey = jax.random.split(key0)
@@ -719,6 +736,351 @@ def make_culled_lj_runner(
 def _cull_scan_segments(body, carry, n_seg: int):
     carry, _ = jax.lax.scan(body, carry, length=n_seg)
     return carry
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "v", "F", "step", "box_diag", "overflowed", "pairs",
+                 "x_anchor", "scale_used", "key", "vmax_scale",
+                 "n_accepted", "n_proposed"],
+    meta_fields=[],
+)
+@dataclass
+class CullNPTCarry:
+    """Carry of the culled NpT runner: the culled NVT carry plus the
+    barostat's key/statistics and the slack budget consumed by accepted
+    volume scalings since the last list rebuild."""
+
+    x: jnp.ndarray           # (3, n_pad)
+    v: jnp.ndarray           # (3, n_pad)
+    F: jnp.ndarray           # (3, n_pad)
+    step: jnp.ndarray        # (1, 1) i32 cumulative MD steps (noise ctr)
+    box_diag: jnp.ndarray    # (1, 3)
+    overflowed: jnp.ndarray  # () bool
+    pairs: object            # TilePairList
+    x_anchor: jnp.ndarray    # (3, n_pad) positions at last rebuild
+    scale_used: jnp.ndarray  # () f32 slack consumed by volume scalings
+    key: jnp.ndarray         # barostat PRNG key
+    vmax_scale: jnp.ndarray  # () f32 barostat max relative volume change
+    n_accepted: jnp.ndarray  # () i32
+    n_proposed: jnp.ndarray  # () i32
+
+
+def make_culled_npt_lj_runner(
+    potential,
+    n_particles: int,
+    temperature=300.0 * units.kelvin,
+    pressure=1.0 * units.atmosphere,
+    timestep=2.0 * units.femtoseconds,
+    collision_rate=1.0 / units.picoseconds,
+    topology=None,
+    tm: int = 128,
+    tn: int = 256,
+    slack: float = 0.2,
+    segment_steps: int = 50,
+    barostat_interval: int = 25,
+    volume_max_scale: float = 0.01,
+    autotune: bool = True,
+    autotune_interval: int = 20,
+    sort_mode: str = "auto",
+    seed_default: int = 0,
+    exact_forces: bool = False,
+    unroll: int = 4,
+):
+    """Fused NpT on the culled tile-pair engine (the flagship NVT kernel).
+
+    Replaces the dense-kernel ``make_npt_lj_runner`` at flagship sizes:
+    BAOAB Langevin segments run on the culled fused kernel while an
+    on-device MC barostat (McDonald-1972 NpT acceptance, reference
+    chiron/mcmc.py:985-1000; autotune rule mcmc.py:902-911) attempts an
+    isotropic volume move every ``barostat_interval`` steps.  The whole
+    chain is ONE ``lax.scan``.
+
+    TPU-first design points:
+
+    * a volume proposal RESCALES the live tile-pair list instead of
+      rebuilding it: uniform scaling maps every coordinate, bbox center
+      and frame shift through ``x -> s x``, so the list for the scaled
+      configuration is the same entry set with ``ccx``/``rowcx``
+      multiplied by ``s`` -- pairs beyond reach can only enter the
+      cutoff by consuming ``|1 - s| * (cutoff + slack)`` of slack, which
+      is charged to a slack budget (``scale_used``) checked together
+      with the thermal top-2 drift every segment;
+    * proposal energies come from the culled force+energy kernel
+      (ops/lj_cull.py::culled_force_energy_raw, exact reciprocal), so a
+      barostat attempt costs two culled passes -- not the two dense
+      N^2 passes of the dense runner;
+    * the accepted proposal's force is reused as the next segment's
+      input force (no extra force pass);
+    * minimum-image validity under a shrinking box (ADVICE r2): volume
+      proposals that would take ``min(box)/2 - cutoff - slack`` negative
+      are rejected outright, and every rebuild re-checks the x-frame
+      shift bound (latching ``overflowed``).
+
+    ``segment_steps`` must be a multiple of ``barostat_interval``;
+    ``run(state, n)`` requires ``n`` to be a multiple of
+    ``segment_steps``.  Volume moves leave velocities untouched
+    (reference mcmc.py:972-983 semantics).
+    """
+    from .ops.lj_cull import CulledLJMD, build_tile_pairs, slab_y_key, \
+        sort_by_key
+    from .ops.lj_dense import LJDensePallas
+
+    if segment_steps % barostat_interval != 0:
+        raise ValueError(
+            "segment_steps must be a multiple of barostat_interval"
+        )
+    if topology is None:
+        topology = potential.topology
+    masses_host = topology.masses()
+    if not np.allclose(masses_host, masses_host[0]):
+        raise ValueError(
+            "the culled runner permutes particle order and therefore "
+            "requires identical masses"
+        )
+    n = n_particles
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    beta = 1.0 / kT
+    P_md = units.pressure_to_md(pressure)
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+
+    import math as _math
+
+    _gran = _math.lcm(128, tm, tn)
+    common_pad = _gran * ((n_particles + _gran - 1) // _gran)
+    md = CulledLJMD(
+        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
+        masses_lane=np.asarray(masses_host, dtype=np.float32),
+        dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
+        n_pad=common_pad, unroll=unroll,
+    )
+    n_pad = md.n_pad
+    valid_lane = jnp.arange(n_pad) < n
+    dense = LJDensePallas(
+        n, potential.sigma, potential.epsilon, potential.cutoff,
+        tm=128, tn=128, n_pad=n_pad,
+    )
+    reach = md.cutoff + md.slack
+    approx = not exact_forces
+    n_sub = segment_steps // barostat_interval
+
+    class CulledNPTRunner:
+        def __init__(self):
+            self.md = md
+            self.dense = dense
+            self.seed = seed_default
+            self.nslab = None
+            self.capacity = None
+            self._bodies = {}
+
+        def init(self, positions, box_vectors, seed: int = 0):
+            self.seed = seed
+            x3s, box_diag, self.nslab, self.capacity, pairs = (
+                _culled_layout_init(md, dense, positions, box_vectors,
+                                    sort_mode, n)
+            )
+            key0 = jax.random.PRNGKey(seed)
+            key, vkey = jax.random.split(key0)
+            v3 = md.sigv * jax.random.normal(vkey, (3, n_pad))
+            F3 = md.force(x3s, box_diag[0], pairs, approx_recip=approx)
+            return CullNPTCarry(
+                x=x3s, v=v3, F=F3,
+                step=jnp.zeros((1, 1), jnp.int32),
+                box_diag=box_diag,
+                overflowed=pairs.overflowed,
+                pairs=pairs,
+                x_anchor=x3s,
+                scale_used=jnp.float32(0.0),
+                key=key,
+                vmax_scale=jnp.float32(volume_max_scale),
+                n_accepted=jnp.int32(0),
+                n_proposed=jnp.int32(0),
+            )
+
+        def _barostat_attempt(self, carry: CullNPTCarry) -> CullNPTCarry:
+            key, k_prop, k_acc = jax.random.split(carry.key, 3)
+            box = carry.box_diag
+            V = jnp.prod(box)
+            dV = jax.random.uniform(
+                k_prop, minval=-1.0, maxval=1.0
+            ) * carry.vmax_scale * V
+            V_new = V + dV
+            s = jnp.power(V_new / V, 1.0 / 3.0)
+            x_new = carry.x * s
+            box_new = box * s
+            pairs = carry.pairs
+            pairs_new = pairs._replace(ccx=pairs.ccx * s,
+                                       rowcx=pairs.rowcx * s)
+            # two culled passes: U of current config, U+F of the proposal
+            _, U = md.force_energy(carry.x, box[0], pairs)
+            F_new, U_new = md.force_energy(x_new, box_new[0], pairs_new)
+            log_ratio = (
+                -beta * ((U_new - U) + P_md * (V_new - V))
+                + n * jnp.log(V_new / V)
+            )
+            # NaN-poisoned proposals reject (reference mcmc.py:428); so
+            # do proposals that would break the minimum-image/frame
+            # validity bound as the box shrinks (ADVICE r2)
+            box_ok = (
+                0.5 * jnp.min(box_new) - md.cutoff - md.slack
+            ) > 0.0
+            log_ratio = jnp.where(
+                jnp.isnan(U_new) | ~box_ok, -jnp.inf, log_ratio
+            )
+            accept = jnp.log(
+                jax.random.uniform(k_acc, minval=1e-38)
+            ) < log_ratio
+            sel = lambda a, b: jnp.where(accept, a, b)
+            # a down-scaling consumes |1-s|*reach of slack (pairs beyond
+            # reach move inward by at most that much); up-scalings only
+            # push pairs outward and consume none
+            used = carry.scale_used + jnp.where(
+                accept, jnp.maximum(0.0, 1.0 - s) * reach, 0.0
+            )
+            n_acc = carry.n_accepted + accept.astype(jnp.int32)
+            n_prop = carry.n_proposed + 1
+            vmax = carry.vmax_scale
+            if autotune:
+                due = (n_prop % autotune_interval) == 0
+                ratio = n_acc.astype(jnp.float32) / jnp.maximum(n_prop, 1)
+                vmax = jnp.where(due & (ratio < 0.25), vmax / 1.1, vmax)
+                vmax = jnp.where(
+                    due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3),
+                    vmax,
+                )
+            return CullNPTCarry(
+                x=sel(x_new, carry.x), v=carry.v,
+                F=sel(F_new, carry.F),
+                step=carry.step,
+                box_diag=sel(box_new, box),
+                overflowed=carry.overflowed,
+                pairs=pairs._replace(
+                    ccx=sel(pairs_new.ccx, pairs.ccx),
+                    rowcx=sel(pairs_new.rowcx, pairs.rowcx),
+                ),
+                x_anchor=sel(carry.x_anchor * s, carry.x_anchor),
+                scale_used=used,
+                key=key,
+                vmax_scale=vmax,
+                n_accepted=n_acc,
+                n_proposed=n_prop,
+            )
+
+        def _segment_body(self, n_steps: int):
+            cache_key = (n_steps, self.nslab, self.capacity, self.seed)
+            if cache_key in self._bodies:
+                return self._bodies[cache_key]
+            nslab, capacity, seed = self.nslab, self.capacity, self.seed
+
+            def body(carry: CullNPTCarry, _):
+                box_diag = carry.box_diag
+                Lx = box_diag[0, 0]
+                skey = slab_y_key(carry.x, n, nslab, Lx,
+                                  Ly=box_diag[0, 1])
+                x3s, payload = sort_by_key(
+                    skey, carry.x,
+                    (carry.v[0], carry.v[1], carry.v[2],
+                     carry.F[0], carry.F[1], carry.F[2]),
+                )
+                v3 = jnp.stack(payload[0:3])
+                F3 = jnp.stack(payload[3:6])
+                pairs = build_tile_pairs(
+                    x3s, n, md.tm, md.tn, box_diag[0], md.cutoff,
+                    md.slack, capacity=capacity,
+                )
+                carry = CullNPTCarry(
+                    x=x3s, v=v3, F=F3, step=carry.step,
+                    box_diag=box_diag,
+                    overflowed=carry.overflowed | pairs.overflowed,
+                    pairs=pairs, x_anchor=x3s,
+                    scale_used=jnp.float32(0.0),
+                    key=carry.key, vmax_scale=carry.vmax_scale,
+                    n_accepted=carry.n_accepted,
+                    n_proposed=carry.n_proposed,
+                )
+                for _k in range(n_sub):
+                    carry = self._barostat_attempt(carry)
+                    x1, v1, F1 = md.run_segment(
+                        carry.x, carry.v, carry.F, carry.box_diag[0],
+                        carry.pairs, seed=jnp.int32(seed),
+                        step_offset=carry.step[0, 0],
+                        n_steps=barostat_interval, approx_recip=approx,
+                    )
+                    carry = CullNPTCarry(
+                        x=x1, v=v1, F=F1,
+                        step=carry.step + barostat_interval,
+                        box_diag=carry.box_diag,
+                        overflowed=carry.overflowed,
+                        pairs=carry.pairs, x_anchor=carry.x_anchor,
+                        scale_used=carry.scale_used,
+                        key=carry.key, vmax_scale=carry.vmax_scale,
+                        n_accepted=carry.n_accepted,
+                        n_proposed=carry.n_proposed,
+                    )
+                # combined skin invariant: thermal top-2 drift from the
+                # rebuild anchor + slack consumed by accepted volume
+                # scalings must stay under the slack
+                L = carry.box_diag.reshape(3, 1)
+                dx = carry.x - carry.x_anchor
+                dx = dx - L * jnp.round(dx / L)
+                overflowed = carry.overflowed | (
+                    _top2_drift(dx, valid_lane) + carry.scale_used
+                    > md.slack
+                ) | ~jnp.all(
+                    jnp.isfinite(jnp.where(valid_lane, carry.x, 0.0))
+                )
+                return CullNPTCarry(
+                    x=carry.x, v=carry.v, F=carry.F, step=carry.step,
+                    box_diag=carry.box_diag, overflowed=overflowed,
+                    pairs=carry.pairs, x_anchor=carry.x_anchor,
+                    scale_used=carry.scale_used, key=carry.key,
+                    vmax_scale=carry.vmax_scale,
+                    n_accepted=carry.n_accepted,
+                    n_proposed=carry.n_proposed,
+                ), None
+
+            self._bodies[cache_key] = body
+            return body
+
+        def run(self, state: CullNPTCarry, n_steps: int) -> CullNPTCarry:
+            if n_steps % segment_steps != 0:
+                raise ValueError(
+                    f"n_steps must be a multiple of segment_steps "
+                    f"({segment_steps})"
+                )
+            return _cull_scan_segments(
+                self._segment_body(segment_steps), state,
+                n_steps // segment_steps,
+            )
+
+        def check(self, state: CullNPTCarry):
+            if bool(state.overflowed):
+                raise RuntimeError(
+                    "culled NpT runner invariant violated (pair-list "
+                    "capacity, shift bound, or drift+scale budget) -- "
+                    "reduce segment_steps or increase slack and re-run"
+                )
+
+        def volume(self, state: CullNPTCarry):
+            return jnp.prod(state.box_diag)
+
+        def acceptance(self, state: CullNPTCarry):
+            prop = int(state.n_proposed)
+            return (int(state.n_accepted) / prop) if prop else 0.0
+
+        def energy(self, state: CullNPTCarry):
+            return md.force_energy(state.x, state.box_diag[0],
+                                   state.pairs)[1]
+
+        def positions(self, state: CullNPTCarry):
+            return dense.unpad(state.x)
+
+        def velocities(self, state: CullNPTCarry):
+            return dense.unpad(state.v)
+
+    return CulledNPTRunner()
 
 
 @partial(

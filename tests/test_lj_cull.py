@@ -105,6 +105,31 @@ def test_mxu_reduce_force_matches_vpu(sorted_system):
     assert float(jnp.max(jnp.abs(F_vpu - F_mxu))) < 1e-4
 
 
+def test_prefetch_force_and_segment_match_baseline(sorted_system):
+    """The software-pipelined fast loop (prefetch=True) reorders only the
+    SCHEDULE of column-slice loads; per-entry arithmetic is unchanged.
+    (Exact bitwise equality is NOT guaranteed: the two variants are
+    distinct XLA programs and FMA contraction may differ, so assert to
+    float-precision tolerance like the mxu_reduce test.)"""
+    md, pos3s, box_diag = sorted_system
+    md_pf = CulledLJMD(
+        N, SIGMA, EPS, CUTOFF,
+        masses_lane=np.full(N, 39.9), dt=0.002, gamma=1.0,
+        kT=0.008314 * 120, tm=TM, tn=TN, slack=0.2, prefetch=True,
+    )
+    pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
+    F0 = md.force(pos3s, box_diag, pairs, approx_recip=False)
+    F1 = md_pf.force(pos3s, box_diag, pairs, approx_recip=False)
+    assert float(jnp.max(jnp.abs(F0 - F1))) < 1e-4
+    v3 = jnp.zeros_like(pos3s)
+    out0 = md.run_segment(pos3s, v3, F0, box_diag, pairs, seed=3,
+                          step_offset=0, n_steps=4, approx_recip=False)
+    out1 = md_pf.run_segment(pos3s, v3, F0, box_diag, pairs, seed=3,
+                             step_offset=0, n_steps=4, approx_recip=False)
+    for a, b in zip(out0, out1):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+
+
 def test_scatter_placement_matches_onehot(sorted_system, monkeypatch):
     """The large-N scatter placement must build the identical list as the
     one-hot-matmul placement (the builder switches on entries*capacity)."""

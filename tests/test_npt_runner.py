@@ -83,39 +83,145 @@ def test_npt_mean_volume_matches_ensemble_expectation():
     assert abs(V_mean - V_expect) / V_expect < 0.10, (V_mean, V_expect)
 
 
-def test_fused_rebuild_rejects_cadence_params():
-    """fused_rebuild sorts/rebuilds every segment; non-unit cadences must
-    raise instead of being silently ignored."""
-    from chiron_tpu.runtime import make_culled_lj_runner
+# ---------------------------------------------------------------------------
+# Culled-engine NpT (make_culled_npt_lj_runner)
+# ---------------------------------------------------------------------------
 
-    fluid = LennardJonesFluid(nparticles=4000, reduced_density=0.8)
-    r = make_culled_lj_runner(
-        potential=fluid.potential, n_particles=4000,
-        topology=fluid.topology, fused_rebuild=True, sort_every=4,
+from chiron_tpu.runtime import make_culled_npt_lj_runner
+
+
+def _make_culled(n=125, rho=0.1, P_atm=50.0, interval=10, segment=20, **kw):
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=rho)
+    r = make_culled_npt_lj_runner(
+        potential=fluid.potential, n_particles=n, topology=fluid.topology,
+        temperature=300.0 * units.kelvin,
+        pressure=P_atm * units.atmosphere,
+        tm=8, tn=16, barostat_interval=interval, segment_steps=segment, **kw)
+    # stratified-random start instead of the lattice: exact lattice
+    # planes leave x-gaps that make plane-straddling x-sorted tiles
+    # artificially fat (trips the x-frame bound in these small boxes);
+    # one particle per cell, jittered, is liquid-like (near-uniform x,
+    # pair distances > sigma) and deterministic
+    box = np.asarray(
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system)
     )
-    st = r.init(
-        fluid.positions.value_in_unit_system(units.md_unit_system),
-        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
-        seed=0,
-    )
-    with pytest.raises(ValueError, match="sort_every"):
-        r.run(st, 50)
+    side = int(round(n ** (1 / 3)))
+    assert side ** 3 == n
+    rng = np.random.default_rng(11)
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3,
+                             indexing="ij"), -1).reshape(-1, 3)
+    cell = np.diag(box) / side
+    pos = (g + rng.uniform(0.25, 0.75, (n, 3))) * cell
+    st = r.init(pos, box, seed=3)
+    return r, st
 
 
-def test_spatial_band_runner_rejects_nonuniform_masses():
+def test_culled_npt_mechanics():
+    r, st = _make_culled()
+    V0 = float(r.volume(st))
+    st = r.run(st, 200)
+    r.check(st)
+    assert int(st.n_proposed) == 20           # one attempt per interval
+    assert 0 <= int(st.n_accepted) <= 20
+    assert float(r.volume(st)) != V0
+    assert np.isfinite(float(r.energy(st)))
+    x = np.asarray(r.positions(st))
+    L = float(st.box_diag[0, 0])
+    assert x.min() > -1e-4 and x.max() < L * (1 + 1e-4) + 1e-4
+
+
+def test_culled_npt_matches_dense_npt_energy_convention():
+    """The culled barostat's energies must agree with the dense kernel's
+    (same truncated-LJ convention), so the two NpT runners sample the
+    same ensemble."""
+    from chiron_tpu.ops.lj_dense import LJDensePallas
+
+    r, st = _make_culled()
+    st = r.run(st, 40)
+    r.check(st)
+    dense = LJDensePallas(
+        125, r.md.sigma, r.md.epsilon, r.md.cutoff, tm=8, tn=16,
+        n_pad=r.md.n_pad)
+    U_culled = float(r.energy(st))
+    U_dense = float(dense.force_energy_t(st.x, st.box_diag)[1])
+    assert abs(U_culled - U_dense) < 1e-2 + 1e-5 * abs(U_dense)
+
+
+def test_culled_npt_scaled_list_matches_rebuilt_list():
+    """A volume proposal rescales the live tile-pair list (ccx/rowcx * s)
+    instead of rebuilding; the resulting energy must match a from-scratch
+    rebuild on the scaled configuration."""
+    r, st = _make_culled()
+    st = r.run(st, 20)
+    r.check(st)
+    md = r.md
+    from chiron_tpu.ops.lj_cull import build_tile_pairs
+
+    for s_val in (0.9967, 1.0033):
+        s = jnp.float32(s_val)
+        x_new = st.x * s
+        box_new = st.box_diag * s
+        pairs_scaled = st.pairs._replace(
+            ccx=st.pairs.ccx * s, rowcx=st.pairs.rowcx * s)
+        _, U_scaled = md.force_energy(x_new, box_new[0], pairs_scaled)
+        pairs_re = build_tile_pairs(
+            x_new, 125, md.tm, md.tn, box_new[0], md.cutoff, md.slack,
+            capacity=st.pairs.cols.shape[1])
+        _, U_re = md.force_energy(x_new, box_new[0], pairs_re)
+        assert abs(float(U_scaled) - float(U_re)) < 1e-3, s_val
+
+
+def test_culled_npt_interval_validation():
+    with pytest.raises(ValueError, match="multiple of barostat_interval"):
+        _make_culled(segment=25, interval=10)
+    r, st = _make_culled()
+    with pytest.raises(ValueError, match="multiple of segment_steps"):
+        r.run(st, 30)
+
+
+def test_culled_npt_box_never_shrinks_below_minimum_image_bound():
+    """Volume proposals that would break min(box)/2 > cutoff + slack are
+    rejected on-device (ADVICE r2): driving the barostat attempt alone
+    with a huge volume_max_scale (proposals down to 0.46x the box
+    length, far below the bound), the box must never cross it."""
+    import dataclasses
+
     import jax
-    import numpy as np
-    from jax.sharding import Mesh
 
-    from chiron_tpu.parallel import make_spatial_band_lj_runner
-    from chiron_tpu.topology import Topology
+    r, st = _make_culled(P_atm=2000.0, volume_max_scale=0.9,
+                         autotune=False)
+    bound = 2.0 * (r.md.cutoff + r.md.slack)
+    assert float(jnp.min(st.box_diag)) > bound
+    carry = st
+    crossed_guard_band = False
+    for i in range(30):
+        carry = dataclasses.replace(carry, key=jax.random.PRNGKey(100 + i))
+        carry = r._barostat_attempt(carry)
+        assert float(jnp.min(carry.box_diag)) > bound, i
+        # huge-shrink proposals (to below the bound) occurred with
+        # overwhelming probability across 30 uniform draws; the high
+        # pressure makes unguarded deep shrinks energetically favorable
+        if float(jnp.min(carry.box_diag)) < bound * 1.5:
+            crossed_guard_band = True
+    assert int(carry.n_proposed) == int(st.n_proposed) + 30
+    assert crossed_guard_band  # the walk actually approached the bound
 
-    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.2)
-    topo = Topology.from_masses(np.linspace(10.0, 40.0, 64))
-    mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
-    with pytest.raises(ValueError, match="identical masses"):
-        make_spatial_band_lj_runner(
-            mesh, fluid.potential, 64,
-            temperature=120.0 * units.kelvin,
-            timestep=2.0 * units.femtoseconds, topology=topo,
-        )
+
+@pytest.mark.slow
+def test_culled_npt_mean_volume_matches_ensemble_expectation():
+    n = 125
+    kT = units.kB_MD * 300.0
+    rho_target = 0.05 / 0.34 ** 3          # reduced 0.05 -> nm^-3
+    P_md = rho_target * kT                 # near-ideal EOS
+    P_atm = P_md / units.pressure_to_md(1.0 * units.atmosphere)
+    r, st = _make_culled(n=n, rho=0.05, P_atm=P_atm, interval=5,
+                         segment=10)
+    st = r.run(st, 2000)                   # equilibrate
+    vols = []
+    for _ in range(40):
+        st = r.run(st, 250)
+        vols.append(float(r.volume(st)))
+    r.check(st)
+    V_expect = (n + 1) * kT / P_md
+    V_mean = float(np.mean(vols))
+    assert abs(V_mean - V_expect) / V_expect < 0.12, (V_mean, V_expect)

@@ -169,3 +169,24 @@ def test_sort_build_rejects_bad_shapes(state):
             tn=256, nslab=0, cutoff=CUTOFF, slack=SLACK, capacity=CAP,
             interpret=True,
         )
+
+
+def test_fused_rebuild_rejects_cadence_params():
+    """fused_rebuild sorts/rebuilds every segment; non-unit cadences must
+    raise instead of being silently ignored."""
+    from chiron_tpu import units
+    from chiron_tpu.runtime import make_culled_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=4000, reduced_density=0.8)
+    r = make_culled_lj_runner(
+        potential=fluid.potential, n_particles=4000,
+        topology=fluid.topology, fused_rebuild=True, sort_every=4,
+    )
+    st = r.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=0,
+    )
+    with pytest.raises(ValueError, match="sort_every"):
+        r.run(st, 50)

@@ -302,3 +302,25 @@ def test_spatial_runner_8dev_thermalizes():
     import numpy as np
     assert np.isfinite(out["E"]), out
     assert abs(out["kT_kin"] - out["kT"]) / out["kT"] < 0.2, out
+
+
+def test_spatial_band_runner_rejects_nonuniform_masses():
+    import jax
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel import make_spatial_band_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+    from chiron_tpu.topology import Topology
+
+    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.2)
+    topo = Topology.from_masses(np.linspace(10.0, 40.0, 64))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("spatial",))
+    with pytest.raises(ValueError, match="identical masses"):
+        make_spatial_band_lj_runner(
+            mesh, fluid.potential, 64,
+            temperature=120.0 * units.kelvin,
+            timestep=2.0 * units.femtoseconds, topology=topo,
+        )
