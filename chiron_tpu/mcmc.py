@@ -489,12 +489,39 @@ class MCMove(MCMCMove):
             overflowed=jnp.asarray(False),
         )
 
-        carry, records = run_mc_chain(step_fn, carry, self.number_of_moves)
-
-        if bool(carry.overflowed):
+        # Compiled-chain analogue of the reference's grow-by-10 retry
+        # (reference neighbors.py:709-727): the chain is deterministic in
+        # its starting carry, so on a mid-chain capacity overflow we grow
+        # the list, rebuild from the SAME starting state, and re-run the
+        # whole segment -- completed statistics are never double-counted
+        # because they only sync to the host after a clean run.
+        carry0 = carry
+        for attempt in range(8):
+            carry, records = run_mc_chain(
+                step_fn, carry0, self.number_of_moves
+            )
+            if not bool(carry.overflowed):
+                break
+            if not isinstance(nbr_list, NeighborListNsqrd):
+                raise RuntimeError(
+                    "MC chain overflowed but the pair structure has no "
+                    "growable capacity; this indicates NaN positions or "
+                    "an invalid configuration."
+                )
+            nbr_list.n_max_neighbors += 10
+            nbr_list.build(carry0.positions, carry0.box_vectors)
+            step_fn = self._make_step_fn(thermodynamic_state, nbr_list)
+            self._step_cache.clear()
+            self._step_cache[
+                cache_key[:3]
+                + (nbr_list.n_max_neighbors,)
+                + cache_key[4:]
+            ] = step_fn
+            carry0 = replace(carry0, list_state=nbr_list.state)
+        else:
             raise RuntimeError(
-                "Neighbor list capacity exceeded during MC chain; increase "
-                "n_max_neighbors and rerun."
+                "Neighbor list capacity exceeded during MC chain even "
+                "after repeated growth; increase n_max_neighbors and rerun."
             )
 
         # Host-side sync of statistics and tuned parameter.

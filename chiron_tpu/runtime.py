@@ -1392,7 +1392,7 @@ def make_lj_runner(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["x", "v", "F", "key", "box_diag", "vmax_scale",
+    data_fields=["x", "v", "F", "U", "key", "box_diag", "vmax_scale",
                  "n_accepted", "n_proposed", "step"],
     meta_fields=[],
 )
@@ -1404,6 +1404,8 @@ class NPTCarry:
     x: jnp.ndarray           # (3, n_pad)
     v: jnp.ndarray           # (3, n_pad)
     F: jnp.ndarray           # (3, n_pad)
+    U: jnp.ndarray           # () f32 potential of x, fresh ONLY on steps
+    #                          that feed a barostat attempt (see step_fn)
     key: jnp.ndarray
     box_diag: jnp.ndarray    # (1, 3)
     vmax_scale: jnp.ndarray  # () f32 barostat max relative volume change
@@ -1478,22 +1480,29 @@ def make_npt_lj_runner(
         s = jnp.power(V_new / V, 1.0 / 3.0)
         x_new = carry.x * s
         box_new = carry.box_diag * s
-        # one fused kernel call each: energy of the current and the
-        # scaled configuration (the scaled call's force is kept on accept)
-        _, U = op.force_energy_t(carry.x, carry.box_diag)
+        # the CURRENT configuration's energy was computed by the force
+        # pass of the step that scheduled this attempt (carry.U is fresh
+        # exactly on those steps) -- only the scaled proposal needs a pass
+        U = carry.U
         F_new, U_new = op.force_energy_t(x_new, box_new)
         log_ratio = (
             -beta * ((U_new - U) + P_md * (V_new - V))
             + n * jnp.log(V_new / V)
         )
-        # NaN-poisoned proposals reject (reference mcmc.py:428)
-        log_ratio = jnp.where(jnp.isnan(U_new), -jnp.inf, log_ratio)
+        # NaN-poisoned proposals reject (reference mcmc.py:428); so do
+        # proposals that would shrink the box below the dense kernel's
+        # minimum-image validity bound (min(box) > 2*cutoff)
+        box_ok = jnp.min(box_new) > 2.0 * op.cutoff
+        log_ratio = jnp.where(
+            jnp.isnan(U_new) | ~box_ok, -jnp.inf, log_ratio
+        )
         accept = jnp.log(
             jax.random.uniform(k_acc, minval=1e-38)
         ) < log_ratio
         x = jnp.where(accept, x_new, carry.x)
         box = jnp.where(accept, box_new, carry.box_diag)
         F = jnp.where(accept, F_new, carry.F)
+        U_next = jnp.where(accept, U_new, U)
         n_acc = carry.n_accepted + accept.astype(jnp.int32)
         n_prop = carry.n_proposed + 1
         vmax = carry.vmax_scale
@@ -1505,7 +1514,7 @@ def make_npt_lj_runner(
                 due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3), vmax
             )
         return NPTCarry(
-            x=x, v=carry.v, F=F, key=key, box_diag=box,
+            x=x, v=carry.v, F=F, U=U_next, key=key, box_diag=box,
             vmax_scale=vmax, n_accepted=n_acc, n_proposed=n_prop,
             step=carry.step,
         )
@@ -1521,10 +1530,21 @@ def make_npt_lj_runner(
         x = x + (0.5 * dt) * v
         Lcol = box.reshape(3, 1)
         x = x - jnp.floor(x / Lcol) * Lcol
-        F = op.force_only_t(x, box, approx_recip=approx)
+        # on steps that feed a barostat attempt, the force pass also
+        # returns the potential (one fused kernel either way), so the
+        # attempt never recomputes the current configuration's energy
+        feeds_attempt = ((carry.step + 1) % barostat_interval) == 0
+        F, U = jax.lax.cond(
+            feeds_attempt,
+            lambda xb: op.force_energy_t(*xb),
+            lambda xb: (
+                op.force_only_t(*xb, approx_recip=approx), carry.U
+            ),
+            (x, box),
+        )
         v = v + (0.5 * dt) * F / m_lane
         carry = NPTCarry(
-            x=x, v=v, F=F, key=key, box_diag=box,
+            x=x, v=v, F=F, U=U, key=key, box_diag=box,
             vmax_scale=carry.vmax_scale, n_accepted=carry.n_accepted,
             n_proposed=carry.n_proposed, step=carry.step + 1,
         )
@@ -1548,12 +1568,18 @@ def make_npt_lj_runner(
             box_diag = jnp.diagonal(
                 jnp.asarray(box_vectors, jnp.float32)
             ).reshape(1, 3)
+            if float(jnp.min(box_diag)) <= 2.0 * op.cutoff:
+                raise ValueError(
+                    "NpT runner requires min(box) > 2*cutoff for "
+                    "minimum-image validity; shrink the cutoff or use a "
+                    "larger box"
+                )
             key = jax.random.PRNGKey(seed)
             key, vkey = jax.random.split(key)
             v3 = sigv * jax.random.normal(vkey, (3, n_pad))
-            F3 = op.force_only_t(x3, box_diag, approx_recip=approx)
+            F3, U0 = op.force_energy_t(x3, box_diag)
             return NPTCarry(
-                x=x3, v=v3, F=F3, key=key, box_diag=box_diag,
+                x=x3, v=v3, F=F3, U=U0, key=key, box_diag=box_diag,
                 vmax_scale=jnp.float32(volume_max_scale),
                 n_accepted=jnp.int32(0), n_proposed=jnp.int32(0),
                 step=jnp.int32(0),

@@ -305,3 +305,44 @@ def test_dense_pairs_langevin():
     ss_out, pairs_out = integ.run(ss, ts, number_of_steps=100, nbr_list=pairs)
     e = fluid.potential.compute_energy(ss_out.positions, pairs_out)
     assert bool(jnp.isfinite(e))
+
+
+def test_mc_chain_overflow_grows_capacity_and_retries():
+    """A mid-chain neighbor-list capacity overflow must regrow the list
+    (reference's +10 rule, reference neighbors.py:709-727) and re-run the
+    segment instead of discarding completed work: the chain completes
+    with full statistics and a grown capacity."""
+    PRNG.set_seed(1234)
+    # dilute start (few neighbors -> small auto-grown capacity), then a
+    # high-pressure barostat chain compresses the box so per-particle
+    # neighbor counts blow past the initial capacity mid-chain
+    fluid = LennardJonesFluid(nparticles=64, reduced_density=0.05)
+    ss = SamplerState(
+        positions=fluid.positions,
+        current_PRNG_key=PRNG.get_random_key(),
+        box_vectors=fluid.box_vectors,
+    )
+    ts = ThermodynamicState(
+        potential=fluid.potential,
+        temperature=140.0 * u.kelvin,
+        pressure=5000.0 * u.atmosphere,
+    )
+    nl = NeighborListNsqrd(
+        OrthogonalPeriodicSpace(), cutoff=fluid.cutoff,
+        skin=0.4 * u.nanometer, n_max_neighbors=10,
+    )
+    nl.build_from_state(ss)
+    cap0 = nl.n_max_neighbors
+
+    baro = MonteCarloBarostatMove(volume_max_scale=0.25, number_of_moves=120)
+    ss, ts, nl = baro.update(ss, ts, nl)
+    assert baro.n_proposed == 120          # full chain statistics survive
+    assert baro.n_accepted > 0
+    # compression actually happened and forced at least one regrow
+    V0 = float(jnp.linalg.det(fluid.box_vectors.value_in_unit_system(
+        u.md_unit_system)))
+    V1 = float(jnp.linalg.det(ss.box_vectors))
+    assert V1 < 0.7 * V0
+    assert nl.n_max_neighbors > cap0
+    e = fluid.potential.compute_energy(ss.positions, nl)
+    assert bool(jnp.isfinite(e))

@@ -225,3 +225,33 @@ def test_culled_npt_mean_volume_matches_ensemble_expectation():
     V_expect = (n + 1) * kT / P_md
     V_mean = float(np.mean(vols))
     assert abs(V_mean - V_expect) / V_expect < 0.12, (V_mean, V_expect)
+
+
+def test_dense_npt_min_image_guards():
+    """Dense NpT: init refuses a box at/below 2*cutoff, and volume
+    proposals never take the sampled box below that bound (ADVICE r2)."""
+    import dataclasses
+
+    import jax
+
+    n = 125
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.1)
+    pos = fluid.positions.value_in_unit_system(units.md_unit_system)
+    r = make_npt_lj_runner(
+        potential=fluid.potential, n_particles=n, topology=fluid.topology,
+        temperature=300.0 * units.kelvin, pressure=2000.0 * units.atmosphere,
+        tm=64, barostat_interval=10, volume_max_scale=0.9, autotune=False)
+    with pytest.raises(ValueError, match="2\\*cutoff"):
+        r.init(pos, np.diag([2.0, 2.0, 2.0]), seed=0)
+
+    st = r.init(
+        pos,
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=3)
+    bound = 2.0 * fluid.potential.cutoff
+    carry = st
+    for i in range(30):
+        carry = dataclasses.replace(carry, key=jax.random.PRNGKey(200 + i))
+        carry = r.run(carry, 10)  # exactly one attempt per call
+        assert float(jnp.min(carry.box_diag)) > bound, i
+    assert int(carry.n_proposed) == int(st.n_proposed) + 30
