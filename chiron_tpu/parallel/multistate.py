@@ -73,11 +73,31 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
     def _try_build_stacked_path(self):
         potentials = [ts.potential for ts in self._thermodynamic_states]
         stacked = stack_homogeneous_params(potentials)
+        if stacked is None:
+            # heterogeneous ladder over the closed {HO, IdealGas, LJ} set:
+            # superset params + lax.switch (one compiled program)
+            from ..potential import stack_closed_set_params
+
+            boxes = [s.box_vectors for s in self._sampler_states]
+            box0 = boxes[0]
+            same_box = all(
+                (b is None and box0 is None)
+                or (b is not None and box0 is not None
+                    and bool(jnp.all(jnp.asarray(b) == jnp.asarray(box0))))
+                for b in boxes
+            )
+            if same_box:
+                box_diag = (None if box0 is None
+                            else jnp.diagonal(jnp.asarray(box0)))
+                stacked = stack_closed_set_params(potentials,
+                                                  box_diag=box_diag)
         move = self._langevin_only_move()
         if stacked is None or move is None:
-            log.info(
-                "MeshMultiStateSampler: falling back to serial propagation "
-                "(heterogeneous potentials or non-Langevin schedule)"
+            log.warning(
+                "MeshMultiStateSampler: falling back to SERIAL per-replica "
+                "propagation (potentials outside the stackable set, "
+                "mismatched boxes, or a non-Langevin move schedule) -- "
+                "expect reference-grade performance for this ladder"
             )
             return
         if self._mesh is None:

@@ -407,3 +407,95 @@ def stack_homogeneous_params(potentials):
 
         return ig_energy, (jnp.zeros(len(potentials)),)
     return None
+
+
+def stack_closed_set_params(potentials, box_diag=None):
+    """Stack a HETEROGENEOUS ladder over the closed potential set
+    {HarmonicOscillator, IdealGas, LJ} behind one ``lax.switch``.
+
+    Returns ``(param_energy_fn, stacked_params)`` with the same contract
+    as :func:`stack_homogeneous_params` -- every state's parameters are a
+    superset pytree ``(kind, k, x0, U0, sigma, epsilon, cutoff)`` with
+    zeros in the fields its kind ignores, and
+    ``param_energy_fn(params_i, positions)`` dispatches on ``kind`` with
+    ``lax.switch`` -- so ONE compiled chain / u_kn program serves a mixed
+    ladder (reference multistate.py:497-531 runs such ladders serially).
+    Returns ``None`` if any potential is outside the closed set.
+
+    The LJ branch evaluates the truncated LJ energy over ALL pairs with
+    minimum-image convention when ``box_diag`` is given (open space
+    otherwise) -- no neighbor capacity, so it is safe under vmap/grad at
+    the modest N of multistate workloads.
+
+    NOTE (CLAUDE.md invariant): under ``vmap`` the switch lowers to
+    evaluate-all-branches + select, which is correct but wasteful; the
+    mesh sampler propagates via ``lax.map``/per-shard calls where the
+    switch stays a real branch, and only the (cheap) u_kn matrix uses
+    vmap.
+    """
+    kind_of = {
+        HarmonicOscillatorPotential: 0,
+        IdealGasPotential: 1,
+        LJPotential: 2,
+    }
+    kinds = []
+    for p in potentials:
+        k = kind_of.get(type(p))
+        if k is None:
+            return None
+        kinds.append(k)
+    hos = [p for p in potentials if isinstance(p, HarmonicOscillatorPotential)]
+    x0_shape = hos[0].x0.shape if hos else (1, 3)
+
+    def field(p, name, default):
+        return jnp.asarray(getattr(p, name, default), dtype=jnp.float32)
+
+    ks = jnp.stack([field(p, "k", 0.0) for p in potentials])
+    x0s = jnp.stack([
+        jnp.broadcast_to(
+            jnp.asarray(getattr(p, "x0", jnp.zeros(x0_shape)),
+                        dtype=jnp.float32),
+            x0_shape,
+        )
+        for p in potentials
+    ])
+    U0s = jnp.stack([field(p, "U0", 0.0) for p in potentials])
+    sigmas = jnp.stack([field(p, "sigma", 1.0) for p in potentials])
+    epsilons = jnp.stack([field(p, "epsilon", 0.0) for p in potentials])
+    cutoffs = jnp.stack([field(p, "cutoff", 0.0) for p in potentials])
+    kinds = jnp.asarray(kinds, dtype=jnp.int32)
+    box = None if box_diag is None else jnp.asarray(box_diag,
+                                                   jnp.float32).reshape(3)
+
+    def ho_branch(params, positions):
+        _, k, x0, U0, _, _, _ = params
+        d = positions - x0
+        return 0.5 * k * jnp.sum(d ** 2) + U0
+
+    def ig_branch(params, positions):
+        return jnp.asarray(0.0, dtype=jnp.float32)
+
+    def lj_branch(params, positions):
+        _, _, _, _, sigma, epsilon, cutoff = params
+        n = positions.shape[0]
+        d = positions[:, None, :] - positions[None, :, :]
+        if box is not None:
+            d = d - box * jnp.round(d / box)
+        r2 = jnp.sum(d * d, axis=-1)
+        ids = jnp.arange(n)
+        mask = (r2 < cutoff * cutoff) & (ids[:, None] < ids[None, :])
+        r2s = jnp.where(mask, r2, 1.0)
+        s2 = (sigma * sigma) / r2s
+        s6 = s2 * s2 * s2
+        return jnp.sum(jnp.where(mask, 4.0 * epsilon * (s6 * s6 - s6), 0.0))
+
+    def energy(params, positions, list_state=None):
+        kind = params[0].astype(jnp.int32)
+        return jax.lax.switch(
+            kind,
+            [ho_branch, ig_branch, lj_branch],
+            params, positions,
+        )
+
+    return energy, (kinds.astype(jnp.float32), ks, x0s, U0s, sigmas,
+                    epsilons, cutoffs)

@@ -206,3 +206,114 @@ def test_mesh_multistate_mbar_converges_8device():
     (VERDICT round-1 item 4; tolerance matches the serial-path test)."""
     out = _run_on_cpu_devices(_MBAR, n_devices=8, timeout=900)
     assert out["max_err_kT"] < 0.15, out
+
+
+_MIXED = textwrap.dedent(
+    """
+    import json
+    import jax
+    import numpy as np
+    assert jax.device_count() == 8, jax.devices()
+
+    from chiron_tpu import units as u
+    from chiron_tpu.mcmc import LangevinDynamicsMove, MCMCSampler, MoveSchedule
+    from chiron_tpu.multistate import ReplicaExchangeSampler
+    from chiron_tpu.neighbors import OrthogonalPeriodicSpace, PairListNsqrd
+    from chiron_tpu.parallel import MeshMultiStateSampler, make_replica_mesh
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.reporters import BaseReporter, MultistateReporter
+    from chiron_tpu.states import SamplerState, ThermodynamicState
+    from chiron_tpu.testsystems import LennardJonesFluid
+    from chiron_tpu.utils import PRNG
+    import tempfile
+
+    # mixed closed-set ladder on ONE physical system: 4 HO-k states
+    # tethering to the lattice + 4 LJ temperature states
+    fluid = LennardJonesFluid(nparticles=27, reduced_density=0.4)
+    x0_q = fluid.positions
+    T = 140.0 * u.kelvin
+    kT = u.BOLTZMANN_CONSTANT_kB * T * u.AVOGADRO_CONSTANT_NA
+    states = [
+        ThermodynamicState(
+            HarmonicOscillatorPotential(
+                fluid.topology,
+                k=kT / u.Quantity(1.0 + 0.3 * i, u.angstrom) ** 2,
+                x0=x0_q,
+            ),
+            temperature=T,
+        )
+        for i in range(4)
+    ] + [
+        ThermodynamicState(fluid.potential,
+                           temperature=(140.0 + 20.0 * i) * u.kelvin)
+        for i in range(4)
+    ]
+    PRNG.set_seed(1234)
+
+    def make_sampler_states():
+        return [
+            SamplerState(x0_q, current_PRNG_key=PRNG.get_random_key(),
+                         box_vectors=fluid.box_vectors)
+            for _ in range(8)
+        ]
+
+    move = LangevinDynamicsMove(
+        timestep=1.0 * u.femtoseconds, number_of_steps=10
+    )
+    BaseReporter.set_directory(tempfile.mkdtemp())
+
+    # serial oracle: the base sampler with per-replica all-pair lists
+    serial = ReplicaExchangeSampler(
+        mcmc_sampler=MCMCSampler(
+            MoveSchedule([("LangevinDynamicsMove", move)])
+        ),
+    )
+    pls = []
+    for _ in range(8):
+        pl = PairListNsqrd(OrthogonalPeriodicSpace(),
+                           cutoff=fluid.cutoff)
+        pls.append(pl)
+    serial.create(states, make_sampler_states(), pls)
+    serial._compute_energies()
+    u_serial = np.asarray(serial._energy_thermodynamic_states)
+
+    reporter = MultistateReporter()
+    reporter.reset_reporter_file()
+    mesh_sampler = MeshMultiStateSampler(
+        mcmc_sampler=MCMCSampler(
+            MoveSchedule([("LangevinDynamicsMove", move)])
+        ),
+        reporter=reporter,
+        mesh=make_replica_mesh(8),
+    )
+    mesh_sampler.create(states, make_sampler_states(), [None] * 8)
+    sharded = mesh_sampler._propagator is not None
+    mesh_sampler._compute_energies()
+    u_mesh = np.asarray(mesh_sampler._energy_thermodynamic_states)
+    err = float(np.max(np.abs(u_mesh - u_serial)))
+
+    # a short sharded run exercises the lax.switch chain on all 8 devices
+    mesh_sampler.run(2)
+    fk = np.asarray(mesh_sampler.f_k)
+    print(json.dumps({
+        "sharded": sharded,
+        "u_kn_err": err,
+        "u_scale": float(np.max(np.abs(u_serial))),
+        "fk_finite": bool(np.isfinite(fk).all()),
+        "fk_len": int(fk.shape[0]),
+    }))
+    """
+)
+
+
+def test_mesh_multistate_mixed_ladder_matches_serial_8device():
+    """Heterogeneous (HO-k + LJ) ladder through the closed-set lax.switch
+    path on 8 devices: the sharded u_kn must match the serial base
+    sampler's on identical configurations, and a short sharded run must
+    produce finite f_k (VERDICT r2 item 6; reference runs such ladders
+    serially, reference multistate.py:497-531)."""
+    out = _run_on_cpu_devices(_MIXED, n_devices=8, timeout=900)
+    assert out["sharded"] is True
+    assert out["u_kn_err"] < 1e-4 * max(1.0, out["u_scale"])
+    assert out["fk_finite"] is True
+    assert out["fk_len"] == 8
