@@ -428,7 +428,9 @@ def _make_row_band_force(n, n_pad, rows_per_dev, tm, w, sigma, epsilon,
             Ly = box_ref[0, 1]
             Lz = box_ref[0, 2]
             off = off_ref[0, 0]
-            row0 = off + i * tm
+            # off is idx*rows_per_dev (a tm multiple by _spatial_padding);
+            # Mosaic needs the hint to prove lane-aligned dynamic slices
+            row0 = pl.multiple_of(off + i * tm, tm)
             rt = row0 // tm
             xi = pos_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
             yi = pos_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
@@ -439,7 +441,7 @@ def _make_row_band_force(n, n_pad, rows_per_dev, tm, w, sigma, epsilon,
             def body(k, acc):
                 fx, fy, fz = acc
                 jt = jax.lax.rem(rt + k - K + 2 * n_tiles, n_tiles)
-                col0 = jt * tm
+                col0 = pl.multiple_of(jt * tm, tm)
                 xj = pos_ref[0, pl.ds(col0, tm)].reshape(1, tm)
                 yj = pos_ref[1, pl.ds(col0, tm)].reshape(1, tm)
                 zj = pos_ref[2, pl.ds(col0, tm)].reshape(1, tm)
