@@ -25,7 +25,7 @@ def main():
 
     n_particles = 4000
     n_steps_equil = 1000
-    n_steps_bench = 2000
+    n_steps_bench = 3000
 
     fluid = LennardJonesFluid(nparticles=n_particles, reduced_density=0.8)
     box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)
@@ -67,7 +67,7 @@ def main():
     jax.block_until_ready(state.x)
 
     dt = 1e9
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         state = runner.run(state, n_steps_bench)
         jax.block_until_ready(state.x)

@@ -505,7 +505,12 @@ def culled_force_raw(pos3, box_diag, pairs: TilePairList, n: int, tm: int,
                      approx_recip: bool, interpret: bool, unroll: int = 2,
                      mxu_reduce: bool = False, prefetch: bool = False):
     """Standalone culled force (oracle-parity surface; the fused MD kernel
-    below is the production path)."""
+    below is the production path).
+
+    Positions must be wrapped into [0, L) per axis: the trunc-based y/z
+    minimum image is exact only for displacements in (-L, L).  The fused
+    MD path wraps every step; callers of this standalone surface own the
+    precondition (wrap with ``x - L*floor(x/L)`` first if unsure)."""
     n_pad = pos3.shape[1]
     capacity = pairs.cols.shape[1]
     nr = n_pad // tm
@@ -795,6 +800,8 @@ class CulledLJMD:
 
     def force(self, pos3, box_diag, pairs: TilePairList,
               approx_recip: bool = True):
+        """Culled force of ``pos3`` (WRAPPED positions in [0, L) -- see
+        culled_force_raw's precondition) under the given pair list."""
         return culled_force_raw(
             pos3, box_diag, pairs, self.n, self.tm, self.tn, self.sigma,
             self.epsilon, self.cutoff, approx_recip, self.interpret,

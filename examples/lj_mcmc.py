@@ -18,7 +18,6 @@ from chiron_tpu.neighbors import DensePairs, OrthogonalPeriodicSpace
 from chiron_tpu.potential import LJPotential
 from chiron_tpu.reporters import BaseReporter, MCReporter
 from chiron_tpu.states import SamplerState, ThermodynamicState
-from chiron_tpu.testsystems import LennardJonesFluid
 from chiron_tpu.utils import PRNG
 
 
@@ -27,19 +26,31 @@ def main():
     sigma = 0.373 * units.nanometer
     kB_K = 0.008314462618  # kJ/mol/K
     epsilon = units.Quantity(148.0 * kB_K, units.kilojoule_per_mole)
+    cutoff = 1.4 * units.nanometer
 
-    fluid = LennardJonesFluid(
-        nparticles=1100,
-        reduced_density=0.3,
-        sigma=sigma,
-        epsilon=epsilon,
-        cutoff_factor=1.4 / 0.373,  # 1.4 nm cutoff
-        mass=16.04 * units.amu,
+    # the reference state point EXACTLY: 1100 packed methanes in the
+    # 4.275 nm cubic box (reference Examples/LJ_MCMC.py:29-42); the
+    # packed configuration is generated deterministically by
+    # examples/pack_methane.py (the reference used packmol via mbuild)
+    import numpy as np
+
+    from chiron_tpu.topology import Topology
+    from chiron_tpu.utils import get_data_file_path
+
+    coords_path = get_data_file_path("methane_1100_box4p275.npy")
+    positions = units.Quantity(
+        jnp.asarray(np.load(coords_path)), units.nanometer
     )
-    lj = fluid.potential
+    box_L = 4.275021399280942
+    box_vectors = units.Quantity(
+        jnp.diag(jnp.full(3, box_L)), units.nanometer
+    )
+    topology = Topology.from_masses(np.full(1100, 16.04))
+
+    lj = LJPotential(topology, sigma=sigma, epsilon=epsilon, cutoff=cutoff)
 
     temperature = 140.0 * units.kelvin
-    pressure = 13.0 * units.atmosphere
+    pressure = 13.00765 * units.atmosphere
 
     thermodynamic_state = ThermodynamicState(
         potential=lj, temperature=temperature, pressure=pressure
@@ -47,14 +58,14 @@ def main():
 
     PRNG.set_seed(1234)
     sampler_state = SamplerState(
-        positions=fluid.positions,
+        positions=positions,
         current_PRNG_key=PRNG.get_random_key(),
-        box_vectors=fluid.box_vectors,
+        box_vectors=box_vectors,
     )
 
     # DensePairs: the fused-kernel scheme -- no neighbor tables, no skin,
     # no capacity tuning, barostat box changes flow through the state.
-    nbr_list = DensePairs(OrthogonalPeriodicSpace(), cutoff=fluid.cutoff)
+    nbr_list = DensePairs(OrthogonalPeriodicSpace(), cutoff=cutoff)
     nbr_list.build_from_state(sampler_state)
 
     BaseReporter.set_directory("output/lj_mcmc")
@@ -102,6 +113,14 @@ def main():
     e = lj.compute_energy(final_state.positions, final_nbr)
     print("final energy:", float(e), "kJ/mol")
     assert bool(jnp.isfinite(e))
+
+    # density sanity at the reference state point: liquid methane at
+    # 140 K / 13 atm is ~0.37 g/cm^3 (the packed start is 0.375); the
+    # short NpT chain must keep the sampled density in the liquid range
+    V_mean = float(np.mean(np.asarray(volume)[-10:]))
+    rho = 1100 * 16.04 / 6.02214076e23 / (V_mean * 1e-21)  # g/cm^3
+    print(f"mean sampled density: {rho:.3f} g/cm^3")
+    assert 0.25 < rho < 0.50, rho
 
 
 if __name__ == "__main__":
