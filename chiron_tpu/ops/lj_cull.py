@@ -637,10 +637,18 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
         F = f_ref[...]
         v = v + dt * F * minv_ref[...]
         x = x + (dt * 0.5) * v
+        # Both Box-Muller outputs are used (r cos, r sin are INDEPENDENT
+        # standard normals from one uniform pair), so the splitmix32
+        # counters, log and sqrt run on HALF the lanes: the first
+        # n_pad/2 lanes of each row take the cos branch, the second half
+        # the sin branch.  Same counter space as the one-output scheme
+        # (lane ids over (3, n_pad/2)); the jnp step oracle in
+        # tests/test_lj_cull.py mirrors this stream exactly.
+        half = n_pad // 2
         lane = (
-            jax.lax.broadcasted_iota(jnp.uint32, (3, n_pad), 0)
-            * jnp.uint32(n_pad)
-            + jax.lax.broadcasted_iota(jnp.uint32, (3, n_pad), 1)
+            jax.lax.broadcasted_iota(jnp.uint32, (3, half), 0)
+            * jnp.uint32(half)
+            + jax.lax.broadcasted_iota(jnp.uint32, (3, half), 1)
         )
         step = jnp.uint32(s) + off_ref[0, 0].astype(jnp.uint32)
         base = (
@@ -669,7 +677,11 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             * (1.0 / 16777216.0)
         )
         u1 = jnp.maximum(u1, 1e-7)
-        noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = _TWO_PI * u2
+        noise = jnp.concatenate(
+            [r * jnp.cos(theta), r * jnp.sin(theta)], axis=1
+        )
         v = a_coef * v + b_coef * sigv_ref[...] * noise
         x = x + (dt * 0.5) * v
         # wrap with (3, 1) per-axis constants (broadcast beats materializing

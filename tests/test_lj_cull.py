@@ -168,9 +168,12 @@ def _jnp_fused_step(md, x, w, F, box_diag, seed, step):
     n_pad = x.shape[1]
     v = w + md.dt * F * md.minv
     x = x + 0.5 * md.dt * v
+    # two-output Box-Muller on half the lanes (cos half | sin half),
+    # mirroring the fused kernel's stream exactly
+    half = n_pad // 2
     lane = (
-        jnp.arange(3, dtype=jnp.uint32)[:, None] * jnp.uint32(n_pad)
-        + jnp.arange(n_pad, dtype=jnp.uint32)[None, :]
+        jnp.arange(3, dtype=jnp.uint32)[:, None] * jnp.uint32(half)
+        + jnp.arange(half, dtype=jnp.uint32)[None, :]
     )
     base = (
         jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
@@ -190,7 +193,9 @@ def _jnp_fused_step(md, x, w, F, box_diag, seed, step):
     u1 = (mix(c1) >> 8).astype(jnp.int32).astype(jnp.float32) / 16777216.0
     u2 = (mix(c2) >> 8).astype(jnp.int32).astype(jnp.float32) / 16777216.0
     u1 = jnp.maximum(u1, 1e-7)
-    noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = 2.0 * jnp.pi * u2
+    noise = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
     v = md.a * v + md.b * md.sigv * noise
     x = x + 0.5 * md.dt * v
     Lcol = box_diag.reshape(3, 1)
