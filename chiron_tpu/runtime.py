@@ -468,8 +468,10 @@ def _culled_layout_init(md, dense, positions, box_vectors, sort_mode, n):
     if bool(probe.overflowed):
         raise ValueError(
             "culled runner inapplicable to this box/cutoff (the "
-            "x/y shift bound is violated at init) -- use "
-            "make_fast_lj_runner instead"
+            "x/y shift bound is violated at init: hardware-size tiles "
+            "span too much of a box this few cutoffs wide) -- use the "
+            "dense engines instead (make_fast_lj_runner for NVT, "
+            "make_npt_lj_runner for NpT)"
         )
     # 2x headroom: ordered (e.g. lattice) initial configurations
     # disorder into liquids with fatter tile bboxes
@@ -610,6 +612,16 @@ def make_culled_lj_runner(
                 and md.tm % 128 == 0
                 and md.tn % 128 == 0
             )
+            if use_fused and n_pad > 4096:
+                # the fully-unrolled bitonic network's Mosaic program does
+                # not finish remote compilation at 16k+ (BENCH.md, job
+                # j39: 80+ min without completing) -- fail fast instead
+                # of hanging the caller's session
+                raise ValueError(
+                    "fused_rebuild is compile-infeasible above n_pad=4096 "
+                    "(the unrolled bitonic program is too large for the "
+                    "TPU compiler); use the default XLA sort/build path"
+                )
             if use_fused and (sort_every != 1 or rebuild_every != 1):
                 raise ValueError(
                     "fused_rebuild sorts and rebuilds every segment; "
