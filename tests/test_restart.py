@@ -287,3 +287,43 @@ def test_multistate_session_restart_matches_inprocess_continuation(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(sb.positions), np.asarray(sr.positions)
         )
+
+
+def test_culled_npt_carry_checkpoint_is_bitwise_identical(tmp_path):
+    """The culled NpT carry (incl. the live tile-pair list, slack budget,
+    and barostat statistics) round-trips through the generic pytree
+    checkpoint and resumes bitwise: A+B in-process == A, save, load, B."""
+    import numpy as np
+
+    from chiron_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from chiron_tpu.runtime import make_culled_npt_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    n = 125
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.1)
+    box = np.asarray(
+        fluid.box_vectors.value_in_unit_system(u.md_unit_system))
+    side = 5
+    rng = np.random.default_rng(11)
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3,
+                             indexing="ij"), -1).reshape(-1, 3)
+    pos = (g + rng.uniform(0.25, 0.75, (n, 3))) * (np.diag(box) / side)
+    r = make_culled_npt_lj_runner(
+        potential=fluid.potential, n_particles=n, topology=fluid.topology,
+        temperature=300.0 * u.kelvin, pressure=50.0 * u.atmosphere,
+        tm=8, tn=16, barostat_interval=10, segment_steps=20)
+    st0 = r.init(pos, box, seed=3)
+
+    st_cont = r.run(r.run(st0, 60), 60)
+
+    st_a = r.run(st0, 60)
+    path = str(tmp_path / "npt.npz")
+    save_checkpoint(path, st_a)
+    st_b, _meta = load_checkpoint(path, like=st_a)
+    st_resumed = r.run(st_b, 60)
+
+    for name in ("x", "v", "F", "box_diag", "n_accepted", "n_proposed",
+                 "vmax_scale", "step"):
+        a = getattr(st_cont, name)
+        b = getattr(st_resumed, name)
+        assert bool(jnp.all(jnp.asarray(a) == jnp.asarray(b))), name
