@@ -508,7 +508,13 @@ class MCMove(MCMCMove):
                     "growable capacity; this indicates NaN positions or "
                     "an invalid configuration."
                 )
-            nbr_list.n_max_neighbors += 10
+            # grow geometrically (+10 floor): each retry recompiles the
+            # whole chain for the new list shape, so converging in 1-2
+            # retries matters more than the reference's +10 footstep
+            nbr_list.n_max_neighbors = (
+                nbr_list.n_max_neighbors + nbr_list.n_max_neighbors // 2
+                + 10
+            )
             nbr_list.build(carry0.positions, carry0.box_vectors)
             step_fn = self._make_step_fn(thermodynamic_state, nbr_list)
             self._step_cache.clear()

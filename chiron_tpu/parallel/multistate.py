@@ -92,11 +92,17 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
                 stacked = stack_closed_set_params(potentials,
                                                   box_diag=box_diag)
         move = self._langevin_only_move()
-        if stacked is None or move is None:
+        topo = next(
+            (ts.potential.topology for ts in self._thermodynamic_states
+             if getattr(ts.potential, "topology", None) is not None),
+            None,
+        )
+        if stacked is None or move is None or topo is None:
             log.warning(
                 "MeshMultiStateSampler: falling back to SERIAL per-replica "
                 "propagation (potentials outside the stackable set, "
-                "mismatched boxes, or a non-Langevin move schedule) -- "
+                "mismatched boxes, no topology for masses, or a "
+                "non-Langevin move schedule) -- "
                 "expect reference-grade performance for this ladder"
             )
             return
@@ -112,10 +118,8 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
             return
         param_energy_fn, params = stacked
         self._stacked = (param_energy_fn, params)
-        masses = jnp.asarray(
-            self._thermodynamic_states[0].potential.topology.masses(),
-            dtype=jnp.float32,
-        )[:, None]
+        self._topology = topo
+        masses = jnp.asarray(topo.masses(), dtype=jnp.float32)[:, None]
         dt = units.strip_md(move.timestep, units.picosecond)
         gamma = units.strip_md(move.collision_rate, 1.0 / units.picosecond)
         a = jnp.exp(-gamma * dt)
@@ -176,13 +180,41 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
 
         self._propagator = jax.jit(sharded, static_argnums=(5,))
 
-        # u_kn in one call: E[r, s] = U(params_s, x_r); u = beta_s * E
-        def ukn(xs, betas):
-            e_states = lambda x: jax.vmap(
-                lambda p: param_energy_fn(p, x)
-            )(params)
-            E = jax.vmap(e_states)(xs)  # (R, S)
-            return E * betas[None, :]
+        # u_kn in one call: E[r, s] = U(params_s, x_r); u = beta_s * E.
+        # For the closed-set heterogeneous path, evaluate each KIND group
+        # with its own branch function: vmapping the lax.switch would
+        # lower to evaluate-all-branches + select (CLAUDE.md invariant),
+        # running the O(N^2) LJ branch for every HO/ideal-gas column too.
+        branches = getattr(param_energy_fn, "branches", None)
+        kind_list = getattr(param_energy_fn, "kind_list", None)
+
+        if branches is not None:
+            groups = {}
+            for s_idx, k in enumerate(kind_list):
+                groups.setdefault(k, []).append(s_idx)
+            groups = [(k, np.asarray(idxs)) for k, idxs in groups.items()]
+
+            def ukn(xs, betas):
+                R = xs.shape[0]
+                S = len(kind_list)
+                E = jnp.zeros((R, S), dtype=jnp.float32)
+                for k, idxs in groups:
+                    params_g = jax.tree_util.tree_map(
+                        lambda a: a[idxs], params
+                    )
+                    fn = branches[k]
+                    e = jax.vmap(
+                        lambda x: jax.vmap(lambda p: fn(p, x))(params_g)
+                    )(xs)  # (R, len(idxs))
+                    E = E.at[:, idxs].set(e)
+                return E * betas[None, :]
+        else:
+            def ukn(xs, betas):
+                e_states = lambda x: jax.vmap(
+                    lambda p: param_energy_fn(p, x)
+                )(params)
+                E = jax.vmap(e_states)(xs)  # (R, S)
+                return E * betas[None, :]
 
         self._ukn_fn = jax.jit(ukn)
         log.info(
@@ -224,8 +256,7 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
         )
         # fresh velocities at the assigned temperature when unset
         masses = jnp.asarray(
-            self._thermodynamic_states[0].potential.topology.masses(),
-            dtype=jnp.float32,
+            self._topology.masses(), dtype=jnp.float32,
         )[:, None]
         draw = jax.vmap(
             lambda kT, key: jnp.sqrt(kT / masses) * jax.random.normal(

@@ -27,6 +27,7 @@ from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import units
 from .neighbors import (
@@ -496,6 +497,14 @@ def stack_closed_set_params(potentials, box_diag=None):
             [ho_branch, ig_branch, lj_branch],
             params, positions,
         )
+
+    # expose the per-kind branches and the static kind assignment so the
+    # u_kn stage can evaluate each state group with its OWN branch -- a
+    # lax.switch under vmap lowers to evaluate-all-branches + select
+    # (CLAUDE.md invariant), which would run the O(N^2) LJ branch for
+    # every HO/ideal-gas column too
+    energy.branches = (ho_branch, ig_branch, lj_branch)
+    energy.kind_list = [int(k) for k in np.asarray(kinds)]
 
     return energy, (kinds.astype(jnp.float32), ks, x0s, U0s, sigmas,
                     epsilons, cutoffs)

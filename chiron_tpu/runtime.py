@@ -503,7 +503,7 @@ def make_culled_lj_runner(
     unroll: int = 4,
     mxu_reduce: bool = False,
     fused_rebuild: bool = False,
-    prefetch: bool = True,
+    prefetch: bool = False,
 ):
     """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
 
@@ -750,6 +750,43 @@ def _cull_scan_segments(body, carry, n_seg: int):
     return carry
 
 
+def _npt_volume_proposal(key, box_diag, vmax_scale):
+    """Isotropic volume proposal shared by both NpT runners
+    (reference mcmc.py:950-983): dV ~ U(-1, 1) * vmax * V, positions and
+    box scaled by (V'/V)^(1/3).  Returns (key, k_acc, V, V_new, s)."""
+    key, k_prop, k_acc = jax.random.split(key, 3)
+    V = jnp.prod(box_diag)
+    dV = jax.random.uniform(
+        k_prop, minval=-1.0, maxval=1.0
+    ) * vmax_scale * V
+    V_new = V + dV
+    s = jnp.power(V_new / V, 1.0 / 3.0)
+    return key, k_acc, V, V_new, s
+
+
+def _npt_accept(k_acc, beta, P_md, n, U, U_new, V, V_new, box_ok):
+    """McDonald-1972 NpT acceptance (reference mcmc.py:995-1000) with
+    NaN rejection (reference mcmc.py:428) and box-validity rejection
+    (the caller's minimum-image bound, ADVICE r2)."""
+    log_ratio = (
+        -beta * ((U_new - U) + P_md * (V_new - V))
+        + n * jnp.log(V_new / V)
+    )
+    log_ratio = jnp.where(jnp.isnan(U_new) | ~box_ok, -jnp.inf, log_ratio)
+    return jnp.log(jax.random.uniform(k_acc, minval=1e-38)) < log_ratio
+
+
+def _npt_autotune(vmax, n_acc, n_prop, interval):
+    """Reference barostat autotune (mcmc.py:902-911): /1.1 below 25%
+    cumulative acceptance, x1.1 above 75%, capped at 0.3."""
+    due = (n_prop % interval) == 0
+    ratio = n_acc.astype(jnp.float32) / jnp.maximum(n_prop, 1)
+    vmax = jnp.where(due & (ratio < 0.25), vmax / 1.1, vmax)
+    return jnp.where(
+        due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3), vmax
+    )
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["x", "v", "F", "step", "box_diag", "overflowed", "pairs",
@@ -912,14 +949,10 @@ def make_culled_npt_lj_runner(
             )
 
         def _barostat_attempt(self, carry: CullNPTCarry) -> CullNPTCarry:
-            key, k_prop, k_acc = jax.random.split(carry.key, 3)
             box = carry.box_diag
-            V = jnp.prod(box)
-            dV = jax.random.uniform(
-                k_prop, minval=-1.0, maxval=1.0
-            ) * carry.vmax_scale * V
-            V_new = V + dV
-            s = jnp.power(V_new / V, 1.0 / 3.0)
+            key, k_acc, V, V_new, s = _npt_volume_proposal(
+                carry.key, box, carry.vmax_scale
+            )
             x_new = carry.x * s
             box_new = box * s
             pairs = carry.pairs
@@ -928,22 +961,13 @@ def make_culled_npt_lj_runner(
             # two culled passes: U of current config, U+F of the proposal
             _, U = md.force_energy(carry.x, box[0], pairs)
             F_new, U_new = md.force_energy(x_new, box_new[0], pairs_new)
-            log_ratio = (
-                -beta * ((U_new - U) + P_md * (V_new - V))
-                + n * jnp.log(V_new / V)
-            )
-            # NaN-poisoned proposals reject (reference mcmc.py:428); so
-            # do proposals that would break the minimum-image/frame
-            # validity bound as the box shrinks (ADVICE r2)
+            # minimum-image/frame validity as the box shrinks (ADVICE r2)
             box_ok = (
                 0.5 * jnp.min(box_new) - md.cutoff - md.slack
             ) > 0.0
-            log_ratio = jnp.where(
-                jnp.isnan(U_new) | ~box_ok, -jnp.inf, log_ratio
+            accept = _npt_accept(
+                k_acc, beta, P_md, n, U, U_new, V, V_new, box_ok
             )
-            accept = jnp.log(
-                jax.random.uniform(k_acc, minval=1e-38)
-            ) < log_ratio
             sel = lambda a, b: jnp.where(accept, a, b)
             # a down-scaling consumes |1-s|*reach of slack (pairs beyond
             # reach move inward by at most that much); up-scalings only
@@ -955,13 +979,7 @@ def make_culled_npt_lj_runner(
             n_prop = carry.n_proposed + 1
             vmax = carry.vmax_scale
             if autotune:
-                due = (n_prop % autotune_interval) == 0
-                ratio = n_acc.astype(jnp.float32) / jnp.maximum(n_prop, 1)
-                vmax = jnp.where(due & (ratio < 0.25), vmax / 1.1, vmax)
-                vmax = jnp.where(
-                    due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3),
-                    vmax,
-                )
+                vmax = _npt_autotune(vmax, n_acc, n_prop, autotune_interval)
             return CullNPTCarry(
                 x=sel(x_new, carry.x), v=carry.v,
                 F=sel(F_new, carry.F),
@@ -1483,13 +1501,9 @@ def make_npt_lj_runner(
     approx = not exact_forces
 
     def barostat_attempt(carry: NPTCarry) -> NPTCarry:
-        key, k_prop, k_acc = jax.random.split(carry.key, 3)
-        V = jnp.prod(carry.box_diag)
-        dV = jax.random.uniform(
-            k_prop, minval=-1.0, maxval=1.0
-        ) * carry.vmax_scale * V
-        V_new = V + dV
-        s = jnp.power(V_new / V, 1.0 / 3.0)
+        key, k_acc, V, V_new, s = _npt_volume_proposal(
+            carry.key, carry.box_diag, carry.vmax_scale
+        )
         x_new = carry.x * s
         box_new = carry.box_diag * s
         # the CURRENT configuration's energy was computed by the force
@@ -1497,20 +1511,11 @@ def make_npt_lj_runner(
         # exactly on those steps) -- only the scaled proposal needs a pass
         U = carry.U
         F_new, U_new = op.force_energy_t(x_new, box_new)
-        log_ratio = (
-            -beta * ((U_new - U) + P_md * (V_new - V))
-            + n * jnp.log(V_new / V)
-        )
-        # NaN-poisoned proposals reject (reference mcmc.py:428); so do
-        # proposals that would shrink the box below the dense kernel's
-        # minimum-image validity bound (min(box) > 2*cutoff)
+        # dense kernel minimum-image validity: min(box) > 2*cutoff
         box_ok = jnp.min(box_new) > 2.0 * op.cutoff
-        log_ratio = jnp.where(
-            jnp.isnan(U_new) | ~box_ok, -jnp.inf, log_ratio
+        accept = _npt_accept(
+            k_acc, beta, P_md, n, U, U_new, V, V_new, box_ok
         )
-        accept = jnp.log(
-            jax.random.uniform(k_acc, minval=1e-38)
-        ) < log_ratio
         x = jnp.where(accept, x_new, carry.x)
         box = jnp.where(accept, box_new, carry.box_diag)
         F = jnp.where(accept, F_new, carry.F)
@@ -1519,12 +1524,7 @@ def make_npt_lj_runner(
         n_prop = carry.n_proposed + 1
         vmax = carry.vmax_scale
         if autotune:
-            due = (n_prop % autotune_interval) == 0
-            ratio = n_acc.astype(jnp.float32) / jnp.maximum(n_prop, 1)
-            vmax = jnp.where(due & (ratio < 0.25), vmax / 1.1, vmax)
-            vmax = jnp.where(
-                due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3), vmax
-            )
+            vmax = _npt_autotune(vmax, n_acc, n_prop, autotune_interval)
         return NPTCarry(
             x=x, v=carry.v, F=F, U=U_next, key=key, box_diag=box,
             vmax_scale=vmax, n_accepted=n_acc, n_proposed=n_prop,

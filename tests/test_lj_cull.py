@@ -303,3 +303,29 @@ def test_nan_positions_latch_overflow():
     state = runner.run(state, 5)
     with pytest.raises(RuntimeError, match="invariant violated"):
         runner.check(state)
+
+
+def test_culled_force_energy_matches_jnp_oracle(sorted_system):
+    """culled_force_energy_raw (the NpT barostat's energy provider) must
+    match the jnp all-pairs oracle on BOTH outputs (CLAUDE.md: every
+    Pallas kernel numeric path needs an interpret-mode jnp oracle)."""
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
+    F, U = md.force_energy(pos3s, box_diag, pairs)
+    # force: same tolerance discipline as the force-only test
+    Fo = dense_oracle(pos3s[:, :N].T, box_diag).T
+    err = jnp.abs(F[:, :N] - Fo)
+    scale = float(jnp.max(jnp.abs(Fo)))
+    assert float(jnp.max(err)) < 0.05
+    assert float(jnp.percentile(err, 99.0)) / scale < 1e-5
+    # energy: jnp half-sum oracle over in-cutoff pairs
+    pos = pos3s[:, :N].T
+    d = pos[:, None, :] - pos[None, :, :]
+    d = d - box_diag * jnp.round(d / box_diag)
+    r2 = jnp.sum(d * d, -1)
+    ids = jnp.arange(N)
+    m = (r2 < CUTOFF * CUTOFF) & (ids[:, None] < ids[None, :])
+    r2s = jnp.where(m, r2, 1.0)
+    i6 = ((SIGMA * SIGMA) / r2s) ** 3
+    Uo = float(jnp.sum(jnp.where(m, 4.0 * EPS * (i6 * i6 - i6), 0.0)))
+    assert abs(float(U) - Uo) < 1e-5 * abs(Uo) + 1e-3, (float(U), Uo)
