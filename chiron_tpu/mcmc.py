@@ -437,12 +437,14 @@ class MCMove(MCMCMove):
     def _report_record(self, idx, record, thermodynamic_state):
         raise NotImplementedError
 
-    # -- driver -------------------------------------------------------------
-    def update(self, sampler_state, thermodynamic_state, nbr_list=None):
-        """Run ``number_of_moves`` proposals as one on-device chain
-        (reference mcmc.py:243-306 semantics)."""
+    def _chain_cache_key(self, sampler_state, thermodynamic_state,
+                         nbr_list):
+        """Identity of the compiled chain: everything the step function
+        closes over (kernel identity, list shapes, ensemble, move
+        statics).  Recomputed after a capacity regrow so the grown
+        chain stays cached."""
         potential = thermodynamic_state.potential
-        cache_key = (
+        return (
             potential.cache_token()
             if hasattr(potential, "cache_token")
             else id(potential),
@@ -460,6 +462,14 @@ class MCMove(MCMCMove):
             else None,
             self.autotune,
             self.autotune_interval,
+        )
+
+    # -- driver -------------------------------------------------------------
+    def update(self, sampler_state, thermodynamic_state, nbr_list=None):
+        """Run ``number_of_moves`` proposals as one on-device chain
+        (reference mcmc.py:243-306 semantics)."""
+        cache_key = self._chain_cache_key(
+            sampler_state, thermodynamic_state, nbr_list
         )
         if cache_key not in self._step_cache:
             self._step_cache.clear()
@@ -519,9 +529,9 @@ class MCMove(MCMCMove):
             step_fn = self._make_step_fn(thermodynamic_state, nbr_list)
             self._step_cache.clear()
             self._step_cache[
-                cache_key[:3]
-                + (nbr_list.n_max_neighbors,)
-                + cache_key[4:]
+                self._chain_cache_key(
+                    sampler_state, thermodynamic_state, nbr_list
+                )
             ] = step_fn
             carry0 = replace(carry0, list_state=nbr_list.state)
         else:

@@ -8,7 +8,7 @@ This is the entry point the benchmark (bench.py) and the graft driver use.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as _dc_replace
 from functools import partial
 from typing import Callable, Optional
 
@@ -484,6 +484,49 @@ def _culled_layout_init(md, dense, positions, box_vectors, sort_mode, n):
     return x3s, box_diag, nslab, capacity, pairs
 
 
+def _culled_engine_setup(potential, n_particles, temperature, timestep,
+                         collision_rate, topology, tm, tn, slack,
+                         unroll, mxu_reduce=False, prefetch=False):
+    """Engine construction shared by the culled NVT and NpT factories:
+    identical-mass check, MD-unit stripping, common kernel/dense padding,
+    and the CulledLJMD + matching LJDensePallas instances.
+
+    Returns ``(md, dense, kT, dt, gamma, masses_host)``."""
+    from .ops.lj_cull import CulledLJMD
+    from .ops.lj_dense import LJDensePallas
+
+    if topology is None:
+        topology = potential.topology
+    masses_host = topology.masses()
+    if not np.allclose(masses_host, masses_host[0]):
+        raise ValueError(
+            "the culled runner permutes particle order and therefore "
+            "requires identical masses"
+        )
+    T = units.strip_md(temperature, units.kelvin)
+    kT = units.kB_MD * T
+    dt = units.strip_md(timestep, units.picosecond)
+    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
+
+    # common padding: kernel tiles AND the dense energy op's 128 lanes
+    import math as _math
+
+    _gran = _math.lcm(128, tm, tn)
+    common_pad = _gran * ((n_particles + _gran - 1) // _gran)
+    md = CulledLJMD(
+        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
+        masses_lane=np.asarray(masses_host, dtype=np.float32),
+        dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
+        n_pad=common_pad, unroll=unroll, mxu_reduce=mxu_reduce,
+        prefetch=prefetch,
+    )
+    dense = LJDensePallas(
+        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
+        tm=128, tn=128, n_pad=md.n_pad,
+    )
+    return md, dense, kT, dt, gamma, masses_host
+
+
 def make_culled_lj_runner(
     potential,
     n_particles: int,
@@ -528,45 +571,16 @@ def make_culled_lj_runner(
     NOTE: like the band runner, sorting permutes particle identity --
     requires identical masses; ``positions(state)`` returns internal order.
     """
-    from .ops.lj_cull import (
-        CulledLJMD, build_tile_pairs, slab_y_key, sort_by_key,
-    )
+    from .ops.lj_cull import build_tile_pairs, slab_y_key, sort_by_key
     from .ops.sortbuild import sort_build_raw
-    from .ops.lj_dense import LJDensePallas
 
-    if topology is None:
-        topology = potential.topology
-    masses_host = topology.masses()
-    if not np.allclose(masses_host, masses_host[0]):
-        raise ValueError(
-            "the culled runner permutes particle order and therefore "
-            "requires identical masses"
-        )
-    T = units.strip_md(temperature, units.kelvin)
-    kT = units.kB_MD * T
-    dt = units.strip_md(timestep, units.picosecond)
-    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
-
-    # common padding: kernel tiles AND the dense energy op's 128 lanes
-    import math as _math
-
-    _gran = _math.lcm(128, tm, tn)
-    common_pad = _gran * ((n_particles + _gran - 1) // _gran)
-    md = CulledLJMD(
-        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
-        masses_lane=np.asarray(masses_host, dtype=np.float32),
-        dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
-        n_pad=common_pad, unroll=unroll, mxu_reduce=mxu_reduce,
-        prefetch=prefetch,
+    md, dense, kT, dt, gamma, _ = _culled_engine_setup(
+        potential, n_particles, temperature, timestep, collision_rate,
+        topology, tm, tn, slack, unroll, mxu_reduce, prefetch,
     )
     n = n_particles
     n_pad = md.n_pad
     valid_lane = jnp.arange(n_pad) < n
-    # exact energies + pad/unpad via the dense kernel at matching padding
-    dense = LJDensePallas(
-        n, potential.sigma, potential.epsilon, potential.cutoff,
-        tm=128, tn=128, n_pad=n_pad,
-    )
 
     class CulledRunner:
         def __init__(self):
@@ -871,46 +885,21 @@ def make_culled_npt_lj_runner(
     ``segment_steps``.  Volume moves leave velocities untouched
     (reference mcmc.py:972-983 semantics).
     """
-    from .ops.lj_cull import CulledLJMD, build_tile_pairs, slab_y_key, \
-        sort_by_key
-    from .ops.lj_dense import LJDensePallas
+    from .ops.lj_cull import build_tile_pairs, slab_y_key, sort_by_key
 
     if segment_steps % barostat_interval != 0:
         raise ValueError(
             "segment_steps must be a multiple of barostat_interval"
         )
-    if topology is None:
-        topology = potential.topology
-    masses_host = topology.masses()
-    if not np.allclose(masses_host, masses_host[0]):
-        raise ValueError(
-            "the culled runner permutes particle order and therefore "
-            "requires identical masses"
-        )
+    md, dense, kT, dt, gamma, _ = _culled_engine_setup(
+        potential, n_particles, temperature, timestep, collision_rate,
+        topology, tm, tn, slack, unroll,
+    )
     n = n_particles
-    T = units.strip_md(temperature, units.kelvin)
-    kT = units.kB_MD * T
     beta = 1.0 / kT
     P_md = units.pressure_to_md(pressure)
-    dt = units.strip_md(timestep, units.picosecond)
-    gamma = units.strip_md(collision_rate, 1.0 / units.picosecond)
-
-    import math as _math
-
-    _gran = _math.lcm(128, tm, tn)
-    common_pad = _gran * ((n_particles + _gran - 1) // _gran)
-    md = CulledLJMD(
-        n_particles, potential.sigma, potential.epsilon, potential.cutoff,
-        masses_lane=np.asarray(masses_host, dtype=np.float32),
-        dt=dt, gamma=gamma, kT=kT, tm=tm, tn=tn, slack=slack,
-        n_pad=common_pad, unroll=unroll,
-    )
     n_pad = md.n_pad
     valid_lane = jnp.arange(n_pad) < n
-    dense = LJDensePallas(
-        n, potential.sigma, potential.epsilon, potential.cutoff,
-        tm=128, tn=128, n_pad=n_pad,
-    )
     reach = md.cutoff + md.slack
     approx = not exact_forces
     n_sub = segment_steps // barostat_interval
@@ -1020,15 +1009,11 @@ def make_culled_npt_lj_runner(
                     x3s, n, md.tm, md.tn, box_diag[0], md.cutoff,
                     md.slack, capacity=capacity,
                 )
-                carry = CullNPTCarry(
-                    x=x3s, v=v3, F=F3, step=carry.step,
-                    box_diag=box_diag,
+                carry = _dc_replace(
+                    carry, x=x3s, v=v3, F=F3,
                     overflowed=carry.overflowed | pairs.overflowed,
                     pairs=pairs, x_anchor=x3s,
                     scale_used=jnp.float32(0.0),
-                    key=carry.key, vmax_scale=carry.vmax_scale,
-                    n_accepted=carry.n_accepted,
-                    n_proposed=carry.n_proposed,
                 )
                 for _k in range(n_sub):
                     carry = self._barostat_attempt(carry)
@@ -1038,16 +1023,9 @@ def make_culled_npt_lj_runner(
                         step_offset=carry.step[0, 0],
                         n_steps=barostat_interval, approx_recip=approx,
                     )
-                    carry = CullNPTCarry(
-                        x=x1, v=v1, F=F1,
+                    carry = _dc_replace(
+                        carry, x=x1, v=v1, F=F1,
                         step=carry.step + barostat_interval,
-                        box_diag=carry.box_diag,
-                        overflowed=carry.overflowed,
-                        pairs=carry.pairs, x_anchor=carry.x_anchor,
-                        scale_used=carry.scale_used,
-                        key=carry.key, vmax_scale=carry.vmax_scale,
-                        n_accepted=carry.n_accepted,
-                        n_proposed=carry.n_proposed,
                     )
                 # combined skin invariant: thermal top-2 drift from the
                 # rebuild anchor + slack consumed by accepted volume
@@ -1061,15 +1039,7 @@ def make_culled_npt_lj_runner(
                 ) | ~jnp.all(
                     jnp.isfinite(jnp.where(valid_lane, carry.x, 0.0))
                 )
-                return CullNPTCarry(
-                    x=carry.x, v=carry.v, F=carry.F, step=carry.step,
-                    box_diag=carry.box_diag, overflowed=overflowed,
-                    pairs=carry.pairs, x_anchor=carry.x_anchor,
-                    scale_used=carry.scale_used, key=carry.key,
-                    vmax_scale=carry.vmax_scale,
-                    n_accepted=carry.n_accepted,
-                    n_proposed=carry.n_proposed,
-                ), None
+                return _dc_replace(carry, overflowed=overflowed), None
 
             self._bodies[cache_key] = body
             return body
