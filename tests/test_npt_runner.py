@@ -255,3 +255,28 @@ def test_dense_npt_min_image_guards():
         carry = r.run(carry, 10)  # exactly one attempt per call
         assert float(jnp.min(carry.box_diag)) > bound, i
     assert int(carry.n_proposed) == int(st.n_proposed) + 30
+
+
+def test_culled_npt_slab_key_scaled_list_matches_rebuilt():
+    """The rescaled-list barostat must stay exact under the (x-slab, y)
+    sort key (the large-N production key): uniform scaling maps the
+    whole spatial hierarchy, slab structure included."""
+    from chiron_tpu.ops.lj_cull import build_tile_pairs
+
+    r, st = _make_culled(n=343, rho=0.1, sort_mode="slab")
+    assert r.nslab >= 1  # the slab key is actually in play
+    st = r.run(st, 20)
+    r.check(st)
+    md = r.md
+    for s_val in (0.9967, 1.0033):
+        s = jnp.float32(s_val)
+        x_new = st.x * s
+        box_new = st.box_diag * s
+        pairs_scaled = st.pairs._replace(
+            ccx=st.pairs.ccx * s, rowcx=st.pairs.rowcx * s)
+        _, U_scaled = md.force_energy(x_new, box_new[0], pairs_scaled)
+        pairs_re = build_tile_pairs(
+            x_new, 343, md.tm, md.tn, box_new[0], md.cutoff, md.slack,
+            capacity=st.pairs.cols.shape[1])
+        _, U_re = md.force_energy(x_new, box_new[0], pairs_re)
+        assert abs(float(U_scaled) - float(U_re)) < 1e-3, s_val
