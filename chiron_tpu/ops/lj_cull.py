@@ -376,7 +376,16 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 if approx_recip:
                     inv = pl.reciprocal(r2s, approx=True)
                 else:
-                    inv = 1.0 / r2s
+                    # f32-exact reciprocal at near-approx cost: Newton
+                    # steps square the fast reciprocal's relative error
+                    # (~6e-5 on TPU, ~6e-3 in interpret mode), so two
+                    # steps land below the f32 ulp from either seed --
+                    # the result matches the rounded true reciprocal
+                    # within 1 ulp at 4 extra ops instead of the VPU's
+                    # long-latency divide
+                    inv = pl.reciprocal(r2s, approx=True)
+                    inv = inv * (2.0 - r2s * inv)
+                    inv = inv * (2.0 - r2s * inv)
                 i6 = inv * inv * inv
                 # coef = (2 i6^2 - i6) inv, factored as (i6 - 1/2) i6 inv
                 # (one fewer multiply); the 2x lives in eps_scale, applied
