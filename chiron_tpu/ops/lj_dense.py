@@ -66,7 +66,13 @@ def _lj_tile_math(xi, yi, zi, xj, yj, zj, inv_L, L, sigma2, eps4, cutoff2,
     if approx_recip:
         inv = pl.reciprocal(r2s, approx=True)
     else:
-        inv = 1.0 / r2s
+        # f32-exact via Newton refinement of the fast reciprocal (same
+        # scheme as ops/lj_cull.py): two steps land below the f32 ulp
+        # from either the TPU's ~6e-5 or interpret mode's ~6e-3 seed,
+        # at 4 ops instead of the VPU's long-latency divide
+        inv = pl.reciprocal(r2s, approx=True)
+        inv = inv * (2.0 - r2s * inv)
+        inv = inv * (2.0 - r2s * inv)
     inv_r2 = sigma2 * inv
     inv_r6 = inv_r2 * inv_r2 * inv_r2
     inv_r12 = inv_r6 * inv_r6
