@@ -94,7 +94,11 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
             if approx_recip:
                 inv = pl.reciprocal(r2s, approx=True)
             else:
-                inv = 1.0 / r2s
+                # f32-exact via Newton refinement (ops/lj_cull.py
+                # scheme): two steps beat the VPU's long-latency divide
+                inv = pl.reciprocal(r2s, approx=True)
+                inv = inv * (2.0 - r2s * inv)
+                inv = inv * (2.0 - r2s * inv)
             i2 = sigma2 * inv
             i6 = i2 * i2 * i2
             coef = jnp.where(m, (6.0 * eps4) * (2.0 * i6 * i6 - i6) * inv, 0.0)

@@ -115,7 +115,11 @@ def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
             if approx_recip:
                 inv = pl.reciprocal(r2, approx=True)
             else:
-                inv = 1.0 / r2
+                # f32-exact via Newton refinement (ops/lj_cull.py
+                # scheme): two steps beat the VPU's long-latency divide
+                inv = pl.reciprocal(r2, approx=True)
+                inv = inv * (2.0 - r2 * inv)
+                inv = inv * (2.0 - r2 * inv)
             i2 = sigma2 * inv
             i6 = i2 * i2 * i2
             coef = (2.0 * (i6 * i6) - i6) * inv  # eps folded in afterwards

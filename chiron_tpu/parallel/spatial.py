@@ -82,7 +82,11 @@ def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
                 r2 = dx * dx + dy * dy + dz * dz
                 m = (r2 < cutoff2) & pm
                 r2s = jnp.maximum(r2, 1e-4 * sigma2)
-                inv = 1.0 / r2s
+                # f32-exact via Newton refinement (ops/lj_cull.py
+                # scheme): two steps beat the VPU's long-latency divide
+                inv = pl.reciprocal(r2s, approx=True)
+                inv = inv * (2.0 - r2s * inv)
+                inv = inv * (2.0 - r2s * inv)
                 i2 = sigma2 * inv
                 i6 = i2 * i2 * i2
                 coef = jnp.where(
@@ -465,7 +469,11 @@ def _make_row_band_force(n, n_pad, rows_per_dev, tm, w, sigma, epsilon,
                 r2 = dx * dx + dy * dy + dz * dz
                 m = (r2 < cutoff2) & pm
                 r2s = jnp.maximum(r2, 1e-4 * sigma2)
-                inv = 1.0 / r2s
+                # f32-exact via Newton refinement (ops/lj_cull.py
+                # scheme): two steps beat the VPU's long-latency divide
+                inv = pl.reciprocal(r2s, approx=True)
+                inv = inv * (2.0 - r2s * inv)
+                inv = inv * (2.0 - r2s * inv)
                 i2 = sigma2 * inv
                 i6 = i2 * i2 * i2
                 coef = jnp.where(
