@@ -520,10 +520,23 @@ class MCMove(MCMCMove):
                 )
             # grow geometrically (+10 floor): each retry recompiles the
             # whole chain for the new list shape, so converging in 1-2
-            # retries matters more than the reference's +10 footstep
-            nbr_list.n_max_neighbors = (
+            # retries matters more than the reference's +10 footstep.
+            # A particle has at most n-1 neighbors: once capacity passes
+            # that ceiling an overflow can only mean NaN/invalid
+            # positions, so fail fast instead of paying up to 8
+            # recompiles (ADVICE r3)
+            n_particles = int(carry0.positions.shape[0])
+            if nbr_list.n_max_neighbors >= n_particles - 1:
+                raise RuntimeError(
+                    "MC chain overflowed with neighbor capacity already "
+                    f"at the physical ceiling ({nbr_list.n_max_neighbors}"
+                    f" >= n-1 = {n_particles - 1}); this indicates NaN "
+                    "positions or an invalid configuration."
+                )
+            nbr_list.n_max_neighbors = min(
+                n_particles - 1,
                 nbr_list.n_max_neighbors + nbr_list.n_max_neighbors // 2
-                + 10
+                + 10,
             )
             nbr_list.build(carry0.positions, carry0.box_vectors)
             step_fn = self._make_step_fn(thermodynamic_state, nbr_list)

@@ -442,8 +442,11 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
             # last fast entry (any live list slot is safe to read; the
             # clamped group is never computed).
             def load_grp(base):
+                # upper clamp floored at g0 so a degenerate empty segment
+                # (g0 == g2 == 0) can never index below g0 (ADVICE r3)
+                hi = jnp.maximum(g2 - 1, g0)
                 return tuple(
-                    load_col(jnp.clip(base + u, g0, g2 - 1))
+                    load_col(jnp.clip(base + u, g0, hi))
                     for u in range(unroll)
                 )
 

@@ -83,6 +83,42 @@ def _lj_tile_math(xi, yi, zi, xj, yj, zj, inv_L, L, sigma2, eps4, cutoff2,
     return coef, e, dx, dy, dz
 
 
+def _tile_energy_sum(e):
+    """Sum a (tm, tn) f32 energy tile without a flat 16k+-element
+    sequential chain.
+
+    A bare ``jnp.sum(e)`` (and even ``sum(sum(e, axis=0))``, which XLA
+    re-fuses into the same flat reduce) accumulates f32 sequentially on
+    the CPU backend: measured 1.3e-6 relative random-walk error on the
+    rho=0.5 reference fixture -- above the <=1e-6 bar.  Reducing axis 0
+    first (chains of tm) and closing with a DOT (which XLA cannot fuse
+    back into the reduce) keeps every sequential chain <= max(tm, tn):
+    simulated error 2.6e-9 on the same fixture.  On TPU the extra
+    (1, tn) x (tn, 1) dot rides the otherwise idle MXU.
+    """
+    cs = jnp.sum(e, axis=0, keepdims=True)            # (1, tn)
+    ones = jnp.ones((e.shape[1], 1), jnp.float32)
+    return jax.lax.dot_general(
+        cs, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[0, 0]
+
+
+def _kahan_add(acc, comp, term):
+    """One compensated (Kahan) accumulation step: returns (acc', comp').
+
+    The compensation keeps the running f32 sum within ~1 ulp of the exact
+    sum of the terms; callers fold the final ``-comp`` into the result.
+    XLA/Mosaic do not reassociate explicit f32 adds, so the cancellation
+    sequence survives compilation.
+    """
+    y = term - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp
+
+
 def _make_triangle_kernel(n: int, n_pad: int, tm: int,
                           sigma: float, epsilon: float, cutoff: float,
                           with_energy: bool = True,
@@ -120,7 +156,7 @@ def _make_triangle_kernel(n: int, n_pad: int, tm: int,
         row_valid = row_ids < n
 
         def body(j, acc):
-            fx, fy, fz, e_acc = acc
+            fx, fy, fz, e_acc, e_comp = acc
             col0 = j * tm
             xj = pos_ref[0, pl.ds(col0, tm)].reshape(1, tm)
             yj = pos_ref[1, pl.ds(col0, tm)].reshape(1, tm)
@@ -156,24 +192,37 @@ def _make_triangle_kernel(n: int, n_pad: int, tm: int,
                     force_ref[2, pl.ds(col0, tm)] - jnp.sum(tz, axis=0)
                 )
 
-            # energy: diagonal tiles double-count ordered pairs
+            # energy: diagonal tiles double-count ordered pairs; the
+            # cross-tile accumulation is Kahan-compensated so the f32
+            # running sum stays within ~1 ulp of the exact tile-sum total
+            # (BASELINE.json requires <=1e-6 relative everywhere).
+            # The in-tile sum is structured (_tile_energy_sum): a flat
+            # f32 reduce over the tm*tn tile measured 1.3e-6 relative
+            # random-walk error on the rho=0.5 reference fixture
             if with_energy:
-                e_sum = jnp.sum(e)
-                e_acc = e_acc + jnp.where(diagonal, 0.5 * e_sum, e_sum)
-            return fx, fy, fz, e_acc
+                e_sum = _tile_energy_sum(e)
+                e_acc, e_comp = _kahan_add(
+                    e_acc, e_comp, jnp.where(diagonal, 0.5 * e_sum, e_sum)
+                )
+            return fx, fy, fz, e_acc, e_comp
 
         zeros = jnp.zeros((tm, 1), dtype=jnp.float32)
-        fx, fy, fz, e_acc = jax.lax.fori_loop(
-            i, n_tiles, body, (zeros, zeros, zeros, jnp.float32(0.0))
+        fx, fy, fz, e_acc, e_comp = jax.lax.fori_loop(
+            i, n_tiles, body,
+            (zeros, zeros, zeros, jnp.float32(0.0), jnp.float32(0.0)),
         )
         force_ref[0, pl.ds(row0, tm)] = force_ref[0, pl.ds(row0, tm)] + fx[:, 0]
         force_ref[1, pl.ds(row0, tm)] = force_ref[1, pl.ds(row0, tm)] + fy[:, 0]
         force_ref[2, pl.ds(row0, tm)] = force_ref[2, pl.ds(row0, tm)] + fz[:, 0]
 
+        # per-program partial (compensation folded in) written to its own
+        # slot; the wrapper tree-sums the slots -- no sequential f32
+        # accumulation across the grid
         r0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        slot = i % 1024
         energy_ref[...] = energy_ref[...] + jnp.where(
-            (r0 == 0) & (c0 == 0), e_acc, 0.0
+            (r0 == slot // 128) & (c0 == slot % 128), e_acc - e_comp, 0.0
         )
 
     return kernel
@@ -206,7 +255,7 @@ def _make_kernel(n: int, n_pad: int, tm: int, tn: int,
         row_valid = row_ids < n
 
         def body(j, acc):
-            fx, fy, fz, e_acc = acc
+            fx, fy, fz, e_acc, e_comp = acc
             col0 = j * tn
             xj = pos_ref[0, pl.ds(col0, tn)].reshape(1, tn)
             yj = pos_ref[1, pl.ds(col0, tn)].reshape(1, tn)
@@ -226,27 +275,32 @@ def _make_kernel(n: int, n_pad: int, tm: int, tn: int,
             fy = fy + jnp.sum(coef * dy, axis=1, keepdims=True)
             fz = fz + jnp.sum(coef * dz, axis=1, keepdims=True)
             if with_energy:
-                e_acc = e_acc + jnp.sum(e)
-            return fx, fy, fz, e_acc
+                # structured in-tile reduction: see _tile_energy_sum
+                e_acc, e_comp = _kahan_add(
+                    e_acc, e_comp, _tile_energy_sum(e)
+                )
+            return fx, fy, fz, e_acc, e_comp
 
         zeros = jnp.zeros((tm, 1), dtype=jnp.float32)
-        fx, fy, fz, e_acc = jax.lax.fori_loop(
-            0, n_col_tiles, body, (zeros, zeros, zeros, jnp.float32(0.0))
+        fx, fy, fz, e_acc, e_comp = jax.lax.fori_loop(
+            0, n_col_tiles, body,
+            (zeros, zeros, zeros, jnp.float32(0.0), jnp.float32(0.0)),
         )
         force_ref[0, :] = fx[:, 0]
         force_ref[1, :] = fy[:, 0]
         force_ref[2, :] = fz[:, 0]
 
-        # Sequential-grid reduction: zero on the first program, accumulate
-        # this program's partial into slot [0, 0].
+        # per-program partial into its own slot (tree-summed by the
+        # wrapper); zero the block on the first program
         @pl.when(i == 0)
         def _():
             energy_ref[...] = jnp.zeros((8, 128), dtype=jnp.float32)
 
         r0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         c0 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        slot = i % 1024
         energy_ref[...] = energy_ref[...] + jnp.where(
-            (r0 == 0) & (c0 == 0), e_acc, 0.0
+            (r0 == slot // 128) & (c0 == slot % 128), e_acc - e_comp, 0.0
         )
 
     return kernel
@@ -308,11 +362,14 @@ def _lj_dense_raw(
         ),
         interpret=interpret,
     )(pos3, box_diag)
+    # per-program partials live in distinct slots; XLA's tree reduce over
+    # the (8, 128) block avoids a long sequential f32 accumulation
+    e_total = jnp.sum(e_part)
     if triangle:
         # triangle kernel accumulates each unordered pair exactly once
-        return force3, e_part[0, 0]
+        return force3, e_total
     # square kernel visits pairs from both sides; energy double-counts
-    return force3, 0.5 * e_part[0, 0]
+    return force3, 0.5 * e_total
 
 
 class LJDensePallas:

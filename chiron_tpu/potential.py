@@ -447,6 +447,12 @@ def stack_closed_set_params(potentials, box_diag=None):
         kinds.append(k)
     hos = [p for p in potentials if isinstance(p, HarmonicOscillatorPotential)]
     x0_shape = hos[0].x0.shape if hos else (1, 3)
+    # mixed-shape x0 ladders cannot share one stacked parameter block;
+    # fall back to the serial path instead of broadcasting to hos[0]'s
+    # shape (which would raise or silently tile, ADVICE r3)
+    for p in hos:
+        if jnp.asarray(p.x0).shape != x0_shape:
+            return None
 
     def field(p, name, default):
         return jnp.asarray(getattr(p, name, default), dtype=jnp.float32)

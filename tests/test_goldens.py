@@ -140,10 +140,11 @@ def test_prng_stream_golden():
 # pair sum in float64 over the identical lattice (the same numbers OpenMM
 # produces for this fixture up to its f32 tolerance; at the two dilute
 # densities the lattice spacing exceeds the cutoff, so the energy is
-# exactly zero).  Asserted at the BASELINE.md <=1e-6 relative target for
-# the list paths; the fused dense kernel accumulates in f32 tile order and
-# lands at 1.2e-6 on the densest fixture, asserted at 2e-6 (the
-# reference's own OpenMM bar is jnp.isclose, i.e. 1e-5 relative).
+# exactly zero).  ALL paths assert the BASELINE.md <=1e-6 relative
+# target: the fused dense kernel's cross-tile energy accumulation is
+# Kahan-compensated with per-program partial slots (ops/lj_dense.py),
+# which brought the densest fixture from 1.2e-6 under the bar
+# (VERDICT r3 item 3).
 # ---------------------------------------------------------------------------
 
 GOLDEN_LJ_FIXTURE_ENERGIES = {
@@ -187,4 +188,4 @@ def test_lj_fixture_energy_matches_reference_oracle(rho):
 
     dp = DensePairs(OrthogonalPeriodicSpace(), cutoff=fluid.cutoff)
     dp.build_from_state(ss)
-    rel(float(fluid.potential.compute_energy(ss.positions, dp)), 2e-6)
+    rel(float(fluid.potential.compute_energy(ss.positions, dp)), 1e-6)
