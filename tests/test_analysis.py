@@ -84,3 +84,66 @@ def test_mbar_expectation():
     assert x2 == pytest.approx(1.0, rel=0.1)
     x2b = est.compute_expectation(xs ** 2, state_index=1)
     assert x2b == pytest.approx(0.25, rel=0.1)
+
+
+def test_mbar_uncertainty_brackets_analytic(subtests=None):
+    """The asymptotic error bar must bracket the true Delta f across
+    independent realizations, and shrink ~1/sqrt(N) (VERDICT r3 item 6;
+    pymbar capability, reference chiron/analysis.py:35)."""
+    Ks = [1.0, 2.0, 4.0, 8.0]
+    hits, ds = 0, []
+    for seed in range(8):
+        u_kn, N_k, f_analytic = _ho_samples(Ks, 1500, seed=seed)
+        est = MBAREstimator()
+        est.initialize(u_kn, N_k)
+        df, ddf = est.get_free_energy_difference(return_uncertainty=True)
+        assert 0.0 < ddf < 0.2
+        ds.append(ddf)
+        if abs(df - f_analytic[-1]) < 3.0 * ddf:
+            hits += 1
+    # 3-sigma bracketing should essentially always hold
+    assert hits >= 7, (hits, ds)
+    # error estimate scales down with more samples
+    u_kn, N_k, _ = _ho_samples(Ks, 6000, seed=100)
+    est_big = MBAREstimator()
+    est_big.initialize(u_kn, N_k)
+    _, ddf_big = est_big.get_free_energy_difference(return_uncertainty=True)
+    assert ddf_big < 0.7 * np.mean(ds)
+
+
+def test_mbar_delta_f_ij_consistency():
+    Ks = [1.0, 2.0, 4.0]
+    u_kn, N_k, _ = _ho_samples(Ks, 2000, seed=3)
+    est = MBAREstimator()
+    est.initialize(u_kn, N_k)
+    delta, d = est.delta_f_ij()
+    assert delta.shape == (3, 3) and d.shape == (3, 3)
+    assert np.allclose(np.diag(delta), 0.0)
+    assert np.allclose(np.diag(d), 0.0, atol=1e-6)
+    assert np.allclose(delta, -delta.T)
+    assert np.allclose(d, d.T)
+    # end-state entry matches get_free_energy_difference
+    df, ddf = est.get_free_energy_difference(return_uncertainty=True)
+    assert delta[0, -1] == pytest.approx(df)
+    assert d[0, -1] == pytest.approx(ddf)
+    # uncertainties of f_k relative to state 0
+    assert np.allclose(est.d_f_k, d[0, :])
+
+
+def test_mbar_overlap_diagnostics():
+    # well-overlapping ladder: scalar far from 1, rows sum to 1
+    Ks = [1.0, 1.5, 2.25]
+    u_kn, N_k, _ = _ho_samples(Ks, 2000, seed=5)
+    est = MBAREstimator()
+    est.initialize(u_kn, N_k)
+    ov = est.compute_overlap()
+    O = ov["matrix"]
+    assert O.shape == (3, 3)
+    assert np.allclose(O.sum(axis=1), 1.0, atol=1e-8)
+    assert ov["eigenvalues"][0] == pytest.approx(1.0, abs=1e-8)
+    assert ov["scalar"] < 0.5
+    # (nearly) disjoint ladder: scalar approaches 1
+    u2, N2, _ = _ho_samples([1.0, 10000.0], 2000, seed=6)
+    est2 = MBAREstimator()
+    est2.initialize(u2, N2)
+    assert est2.compute_overlap()["scalar"] > 0.9
