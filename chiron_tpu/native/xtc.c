@@ -9,6 +9,15 @@
  *
  * Everything operates on in-memory buffers; Python (ctypes) owns the file.
  * All multi-byte values are big-endian per XDR.
+ *
+ * PROVENANCE: the magicints quantization table and the structure of the
+ * 3dfcoord algorithm (mixed-radix big-int packing, run-length deltas,
+ * water-pair interchange) are format constants of the PUBLISHED xdrfile
+ * specification (Lindahl et al., GROMACS libxdrfile, BSD-licensed) --
+ * there is only one way to write a conforming XTC stream.  The
+ * implementation here is written from that spec, not copied from any
+ * library; tests/xtc_spec_oracle.py holds an independently written
+ * decoder used to verify spec conformance (tests/test_native_xtc.py).
  */
 
 #include <math.h>

@@ -621,14 +621,18 @@ def culled_force_energy_raw(pos3, box_diag, pairs: TilePairList, n: int,
 
 def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                     dt, a_coef, b_coef, approx_recip, unroll,
-                    mxu_reduce=False, prefetch=False):
+                    mxu_reduce=False, prefetch=False, n_steps=None,
+                    slack=None):
     inv_sigma = 1.0 / sigma
     eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
     cutoff2_s = (cutoff / sigma) ** 2
+    check_drift = slack is not None
 
     def kernel(box_ref, seed_ref, off_ref, cols_ref, ccx_ref, ptr2_ref,
                rowcx_ref, minv_ref, sigv_ref,
-               x_in, v_in, f_in, x_ref, v_ref, f_ref):
+               x_in, v_in, f_in, x_ref, v_ref, f_ref, *rest):
+        if check_drift:
+            flag_ref, anchor_ref = rest
         s = pl.program_id(0)
         Lx = box_ref[0, 0]
         Ly = box_ref[0, 1]
@@ -642,6 +646,11 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             x_ref[...] = x_in[...]
             v_ref[...] = v_in[...]
             f_ref[...] = f_in[...]
+            if check_drift:
+                # segment anchor: the (sorted) entry positions the live
+                # tile-pair list was built from
+                anchor_ref[...] = x_in[...]
+                flag_ref[0, 0] = 0.0
 
         # ---- BAOAB phase: merged kick, O-noise, drifts, wrap ----
         x = x_ref[...]
@@ -720,6 +729,44 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             mxu_reduce, prefetch,
         )
 
+        if check_drift:
+            # ---- in-kernel tile-skin invariant (replaces the runner's
+            # XLA drift check, which measured 145 us/segment of small-
+            # fusion launches -- 2.9 us/step at S=50) ----
+            @pl.when(s == n_steps - 1)
+            def _drift_check():
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, n_pad), 1
+                )
+                valid = lane < n
+                d2 = jnp.zeros((1, n_pad), jnp.float32)
+                finite_ok = jnp.float32(1.0)
+                for ax, (L, invL) in enumerate(
+                    ((Lx, inv_Lx), (Ly, inv_Ly), (Lz, inv_Lz))
+                ):
+                    dxa = (
+                        x_ref[ax, :] - anchor_ref[ax, :]
+                    ).reshape(1, n_pad)
+                    dxa = dxa - L * jnp.floor(dxa * invL + 0.5)
+                    d2 = d2 + dxa * dxa
+                    xa = jnp.where(
+                        valid, x_ref[ax, :].reshape(1, n_pad), 0.0
+                    )
+                    # NaN fails the comparison too (NaN < y is False)
+                    finite_ok = finite_ok * jnp.where(
+                        jnp.all(jnp.abs(xa) < jnp.float32(3.0e38)),
+                        1.0, 0.0,
+                    )
+                d = jnp.sqrt(jnp.where(valid, d2, 0.0))
+                m1 = jnp.max(d)
+                others = jnp.where(d == m1, jnp.float32(-1.0), d)
+                m2 = jnp.maximum(jnp.max(others), 0.0)
+                # two lanes tied at the max -> the second drift IS m1
+                tied = jnp.sum(jnp.where(d == m1, 1.0, 0.0)) > 1.5
+                top2 = m1 + jnp.where(tied, m1, m2)
+                bad = (top2 > slack) | (finite_ok < 0.5)
+                flag_ref[0, 0] = jnp.where(bad, 1.0, 0.0)
+
     return kernel
 
 
@@ -727,23 +774,46 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
     jax.jit,
     static_argnames=("n", "n_steps", "tm", "tn", "sigma", "epsilon",
                      "cutoff", "dt", "a_coef", "b_coef", "approx_recip",
-                     "interpret", "unroll", "mxu_reduce", "prefetch"),
+                     "interpret", "unroll", "mxu_reduce", "prefetch",
+                     "slack"),
 )
 def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
                   minv, sigv, n: int, n_steps: int, tm: int, tn: int,
                   sigma: float, epsilon: float, cutoff: float, dt: float,
                   a_coef: float, b_coef: float, approx_recip: bool,
                   interpret: bool, unroll: int = 2, mxu_reduce: bool = False,
-                  prefetch: bool = False):
+                  prefetch: bool = False, slack: float = None):
+    """S-step fused BAOAB+force segment.
+
+    With ``slack`` set, the kernel also evaluates the tile-skin
+    invariant in its final grid step (top-2 joint drift from the entry
+    positions vs ``slack``, plus a non-finiteness latch) and returns a
+    fourth output: a (1, 1) f32 flag (>0.5 means the pair list may have
+    gone stale).  This replaces the runner's XLA drift check, whose
+    small-fusion launches measured 145 us/segment on hardware.
+    """
     n_pad = x3.shape[1]
     capacity = pairs.rows.shape[1]
+    check_drift = slack is not None
     kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                              dt, a_coef, b_coef, approx_recip, unroll,
-                             mxu_reduce, prefetch)
+                             mxu_reduce, prefetch, n_steps=n_steps,
+                             slack=slack)
     full = lambda s: (0, 0)
     smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out_specs = [vmem((3, n_pad)), vmem((3, n_pad)), vmem((3, n_pad))]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+    ]
+    scratch = []
+    if check_drift:
+        out_specs.append(smem((1, 1)))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        scratch.append(pltpu.VMEM((3, n_pad), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
         in_specs=[
@@ -760,16 +830,14 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
             vmem((3, n_pad)),        # v (half-kick convention)
             vmem((3, n_pad)),        # F
         ],
-        out_specs=[vmem((3, n_pad)), vmem((3, n_pad)), vmem((3, n_pad))],
-        out_shape=[
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         input_output_aliases={9: 0, 10: 1, 11: 2},
         interpret=interpret,
     )(box_diag.reshape(1, 3), seed, step_offset, pairs.cols, pairs.ccx,
       pairs.ptr2, pairs.rowcx, minv, sigv, x3, v3, f3)
+    return outs
 
 
 class CulledLJMD:
@@ -846,11 +914,15 @@ class CulledLJMD:
 
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
                     seed, step_offset, n_steps: int,
-                    approx_recip: bool = True):
+                    approx_recip: bool = True, drift_slack: float = None):
         """Advance ``n_steps`` with a fixed pair list; standard (x, v, F)
-        convention at both ends (half-kick conversion inside)."""
+        convention at both ends (half-kick conversion inside).
+
+        With ``drift_slack`` the kernel also evaluates the tile-skin
+        invariant in its final grid step and a fourth return value (a
+        scalar bool: stale/non-finite) is produced."""
         w_in = v3 - (0.5 * self.dt) * f3 * self.minv
-        x3, w_out, f_out = culled_md_raw(
+        outs = culled_md_raw(
             x3, w_in, f3, box_diag,
             jnp.asarray(seed, jnp.int32).reshape(1, 1),
             jnp.asarray(step_offset, jnp.int32).reshape(1, 1),
@@ -858,7 +930,10 @@ class CulledLJMD:
             self.n, n_steps, self.tm, self.tn, self.sigma, self.epsilon,
             self.cutoff, self.dt, self.a, self.b, approx_recip,
             self.interpret, unroll=self.unroll, mxu_reduce=self.mxu_reduce,
-            prefetch=self.prefetch,
+            prefetch=self.prefetch, slack=drift_slack,
         )
+        x3, w_out, f_out = outs[0:3]
         v_std = w_out + (0.5 * self.dt) * f_out * self.minv
-        return x3, v_std, f_out
+        if drift_slack is None:
+            return x3, v_std, f_out
+        return x3, v_std, f_out, outs[3][0, 0] > 0.5

@@ -695,23 +695,41 @@ def make_culled_lj_runner(
                         (x3s, carry.pairs, carry.x_anchor),
                     )
                 overflowed = carry.overflowed | pairs.overflowed
-                x1, v1, F1 = md.run_segment(
-                    x3s, v3, F3, box_diag[0], pairs,
-                    seed=jnp.int32(seed), step_offset=carry.step[0, 0],
-                    n_steps=n_steps, approx_recip=approx,
-                )
-                # tile-skin invariant: no PAIR of particles jointly closed
-                # more than the slack since the list was built (anchor).
-                # NaN positions would make every comparison False, so latch
-                # non-finiteness explicitly.
-                L = box_diag.reshape(3, 1)
-                dx = x1 - x_anchor
-                dx = dx - L * jnp.round(dx / L)
-                overflowed = overflowed | (
-                    _top2_drift(dx, valid_lane) > md.slack
-                ) | ~jnp.all(
-                    jnp.isfinite(jnp.where(valid_lane, x1, 0.0))
-                )
+                if rebuild_every == 1:
+                    # rebuild-every-segment (the production cadence, incl.
+                    # the fused sort+build path -- anchor == x3s): the
+                    # tile-skin invariant is evaluated INSIDE the MD
+                    # kernel's final grid step against the segment-entry
+                    # anchor -- the XLA drift check's small-fusion
+                    # launches measured 145 us/segment (2.9 us/step)
+                    x1, v1, F1, stale = md.run_segment(
+                        x3s, v3, F3, box_diag[0], pairs,
+                        seed=jnp.int32(seed), step_offset=carry.step[0, 0],
+                        n_steps=n_steps, approx_recip=approx,
+                        drift_slack=md.slack,
+                    )
+                    overflowed = overflowed | stale
+                else:
+                    # multi-segment anchors (cadence > 1) keep the XLA
+                    # check: the in-kernel check only sees one segment's
+                    # drift
+                    x1, v1, F1 = md.run_segment(
+                        x3s, v3, F3, box_diag[0], pairs,
+                        seed=jnp.int32(seed), step_offset=carry.step[0, 0],
+                        n_steps=n_steps, approx_recip=approx,
+                    )
+                    # tile-skin invariant: no PAIR of particles jointly
+                    # closed more than the slack since the list was built
+                    # (anchor).  NaN positions would make every comparison
+                    # False, so latch non-finiteness explicitly.
+                    L = box_diag.reshape(3, 1)
+                    dx = x1 - x_anchor
+                    dx = dx - L * jnp.round(dx / L)
+                    overflowed = overflowed | (
+                        _top2_drift(dx, valid_lane) > md.slack
+                    ) | ~jnp.all(
+                        jnp.isfinite(jnp.where(valid_lane, x1, 0.0))
+                    )
                 return CullCarry(
                     x=x1, v=v1, F=F1,
                     step=carry.step + n_steps,

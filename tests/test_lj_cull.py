@@ -329,3 +329,27 @@ def test_culled_force_energy_matches_jnp_oracle(sorted_system):
     i6 = ((SIGMA * SIGMA) / r2s) ** 3
     Uo = float(jnp.sum(jnp.where(m, 4.0 * EPS * (i6 * i6 - i6), 0.0)))
     assert abs(float(U) - Uo) < 1e-5 * abs(Uo) + 1e-3, (float(U), Uo)
+
+
+def test_in_kernel_drift_check_latches_stale_list():
+    """The tile-skin invariant now evaluated inside the MD kernel's final
+    grid step must latch when the top-2 joint drift exceeds the slack
+    (tiny slack + long segment forces a violation)."""
+    from chiron_tpu import units
+    from chiron_tpu.runtime import make_culled_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=N, reduced_density=0.3)
+    runner = make_culled_lj_runner(
+        potential=fluid.potential, n_particles=N, topology=fluid.topology,
+        temperature=300.0 * units.kelvin, tm=8, tn=16,
+        segment_steps=400, slack=0.02,
+    )
+    state = runner.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=3,
+    )
+    state = runner.run(state, 400)
+    with pytest.raises(RuntimeError, match="invariant violated"):
+        runner.check(state)

@@ -84,3 +84,149 @@ def test_reporter_writes_native_xtc(tmp_path):
     np.testing.assert_allclose(boxes[-1], box, atol=1e-6)
     # DCD still written in parallel
     assert os.path.exists(rep.dcd_file_path)
+
+
+# ---------------------------------------------------------------------------
+# External-oracle validation (VERDICT r3 item 4).  GROMACS/mdtraj are not
+# installable in this offline environment, so the oracle is (a) frame bytes
+# constructed BY HAND from the published xdrfile spec for the uncompressed
+# tiny-system layout, (b) an INDEPENDENT pure-Python decoder written from
+# the published xdr3dfcoord algorithm (tests/xtc_spec_oracle.py) that
+# decodes the C codec's compressed output exactly as GROMACS would, and
+# (c) golden bytes committed to chiron_tpu/data/ pinning the wire format.
+# ---------------------------------------------------------------------------
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pytest
+
+
+def test_xtc_small_system_bytes_match_spec(tmp_path):
+    """natoms <= 9 frames are stored uncompressed: the expected byte
+    stream is built here directly from the XDR spec (big-endian magic
+    1995, natoms, step, f32 time, 9x f32 box, natoms again, then plain
+    f32 coords) and compared byte-for-byte."""
+    from chiron_tpu.native.xtc_io import XTCWriter
+
+    pos = np.array(
+        [[0.1, 0.2, 0.3], [1.25, -0.5, 2.0], [0.0, 3.5, 1.125]],
+        dtype=np.float32,
+    )
+    box = np.diag([2.0, 2.5, 3.0]).astype(np.float32)
+    path = tmp_path / "tiny.xtc"
+    w = XTCWriter(str(path))
+    w.write(pos, box, step=7, time_ps=0.004)
+    w.close()
+
+    expected = struct.pack(">iii", 1995, 3, 7)
+    expected += struct.pack(">f", 0.004)
+    for v in box.ravel():
+        expected += struct.pack(">f", float(v))
+    expected += struct.pack(">i", 3)
+    for v in pos.ravel():
+        expected += struct.pack(">f", float(v))
+    assert path.read_bytes() == expected
+
+
+def test_xtc_compressed_decodes_with_independent_spec_decoder(tmp_path):
+    """The C encoder's compressed frames must decode with the pure-Python
+    xdr3dfcoord implementation written from the published spec -- the
+    same decode contract GROMACS/mdtraj/VMD apply."""
+    import xtc_spec_oracle as oracle
+    from chiron_tpu.native.xtc_io import XTCWriter
+
+    rng = np.random.default_rng(7)
+    for n, step_sigma in [(100, 0.02), (517, 0.005), (37, 0.5)]:
+        x = rng.uniform(0, 3.0, (n, 3)).astype(np.float32)
+        box = np.diag([3.0, 3.0, 3.0]).astype(np.float32)
+        path = tmp_path / f"walk_{n}.xtc"
+        w = XTCWriter(str(path), precision=1000.0)
+        frames = []
+        for f in range(4):
+            frames.append(x.copy())
+            w.write(x, box, step=f, time_ps=f * 0.002)
+            x = (x + rng.normal(0, step_sigma, (n, 3)).astype(np.float32)) % 3.0
+        w.close()
+        dec = oracle.decode_file(str(path))
+        assert len(dec) == 4
+        for fr, d in zip(frames, dec):
+            got = np.asarray(d["coords"], np.float64)
+            assert got.shape == fr.shape
+            assert np.abs(got - fr).max() <= 0.5 / 1000.0 + 1e-6
+            assert d["precision"] == pytest.approx(1000.0)
+
+
+def test_xtc_golden_bytes_pinned():
+    """The committed fixture bytes pin the wire format: a fresh encoding
+    of the same coordinates must reproduce them exactly, and the
+    spec-oracle decoder must recover the committed coordinates."""
+    import tempfile
+
+    import xtc_spec_oracle as oracle
+    from chiron_tpu.native.xtc_io import XTCWriter
+    from chiron_tpu.utils import get_data_file_path
+
+    golden_path = get_data_file_path("xtc_golden.xtc")
+    coords = np.load(get_data_file_path("xtc_golden_coords.npy"))
+    golden = open(golden_path, "rb").read()
+
+    # fresh encode reproduces the committed bytes exactly
+    box = np.diag([2.5, 2.5, 2.5]).astype(np.float32)
+    path = tempfile.mktemp(suffix=".xtc")
+    w = XTCWriter(path, precision=1000.0)
+    for f in range(coords.shape[0]):
+        w.write(coords[f], box, step=f * 5, time_ps=f * 0.001)
+    w.close()
+    fresh = open(path, "rb").read()
+    os.remove(path)
+    assert fresh == golden
+
+    # the spec oracle recovers the committed coordinates
+    dec = oracle.decode_file(golden_path)
+    assert len(dec) == coords.shape[0]
+    for f, d in enumerate(dec):
+        got = np.asarray(d["coords"], np.float64)
+        assert np.abs(got - coords[f]).max() <= 0.5 / 1000.0 + 1e-6
+        assert d["step"] == f * 5
+        assert d["box"][0] == pytest.approx(2.5)
+
+
+def test_dcd_bytes_match_charmm_spec(tmp_path):
+    """Full-file DCD byte comparison against a stream constructed here
+    directly from the X-PLOR/CHARMM spec (Fortran records, CORD header,
+    icntrl block, title, natoms, per-frame unit-cell + xyz records)."""
+    from chiron_tpu.reporters import DCDWriter
+
+    pos1 = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], dtype=np.float32)
+    pos2 = pos1 + np.float32(0.25)
+    box = np.array([10.0, 11.0, 12.0])
+    path = tmp_path / "two.dcd"
+    w = DCDWriter(str(path), n_atoms=2, with_unitcell=True)
+    w.write(pos1, box)
+    w.write(pos2, box)
+    w.close()
+
+    def record(payload):
+        return (struct.pack("<i", len(payload)) + payload
+                + struct.pack("<i", len(payload)))
+
+    icntrl = [0] * 20
+    icntrl[0] = 2       # nframes (patched on close)
+    icntrl[1] = 1       # istart
+    icntrl[2] = 1       # nsavc
+    icntrl[10] = 1      # crystal flag
+    icntrl[19] = 24     # CHARMM version
+    expected = record(b"CORD" + struct.pack("<20i", *icntrl))
+    title = b"Created by chiron-tpu DCDWriter".ljust(80)
+    expected += record(struct.pack("<i", 1) + title)
+    expected += record(struct.pack("<i", 2))
+    cell = struct.pack("<6d", 10.0, 0.0, 11.0, 0.0, 0.0, 12.0)
+    for pos in (pos1, pos2):
+        expected += record(cell)
+        for axis in range(3):
+            expected += record(pos[:, axis].tobytes())
+    assert path.read_bytes() == expected
