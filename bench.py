@@ -48,16 +48,20 @@ def main():
     fs = fast.run(fs, n_steps_equil)
     eq_pos = np.asarray(fast.positions(fs))
 
-    # production engine: culled tile-pair fused kernel (ops/lj_cull.py);
-    # slack 0.2 nm is the measured optimum for this workload (BENCH.md) --
-    # 0.15 trips the drift latch, 0.3 carries ~6% extra pair slots
+    # production engine: culled tile-pair fused kernel (ops/lj_cull.py).
+    # With the tile-skin check folded into the kernel (round 4) the
+    # (segment, slack) optimum moved to S=40/0.15: shorter segments keep
+    # the drift budget under a tighter slack, and the tighter reach
+    # carries ~2% fewer pair slots -- measured latch-safe over 21k steps
+    # (BENCH.md round-4 table; S=50/0.15 DOES latch, keep them paired)
     runner = make_culled_lj_runner(
         potential=fluid.potential,
         n_particles=n_particles,
         topology=fluid.topology,
         temperature=120.0 * units.kelvin,
         timestep=2.0 * units.femtoseconds,
-        slack=0.2,
+        slack=0.15,
+        segment_steps=40,
     )
     state = runner.init(eq_pos, box, seed=1234)
 

@@ -271,7 +271,8 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                     n, n_pad, tm, tn,
                     Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
                     inv_sigma, eps_scale, cutoff2_s, approx_recip,
-                    unroll, mxu_reduce=False, prefetch=False, e_ref=None):
+                    unroll, mxu_reduce=False, prefetch=False, e_ref=None,
+                    exact_energy=False):
     """Row-grouped culled force pass: for each row tile, the row coordinate
     vectors are loaded/canonicalized once and the row accumulator carried
     across that row's list entries (single row RMW at the end); each entry
@@ -408,7 +409,16 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
                 # accumulate the raw i6 (i6 - 1) sum, scaled once at the
                 # end of the pass (each ordered pair appears exactly once
                 # across the whole list, so this is the full potential)
-                ea = ea + _sum1(jnp.where(m, (i6 - 1.0) * i6, 0.0))
+                if exact_energy and approx_recip:
+                    # forces keep the fast reciprocal, but the energy
+                    # feeds a Metropolis ratio (NpT carried-U): refine to
+                    # the f32-exact reciprocal for the energy term only
+                    inv_e = inv * (2.0 - r2s * inv)
+                    inv_e = inv_e * (2.0 - r2s * inv_e)
+                    i6_e = inv_e * inv_e * inv_e
+                else:
+                    i6_e = i6
+                ea = ea + _sum1(jnp.where(m, (i6_e - 1.0) * i6_e, 0.0))
                 return fx, fy, fz, ea
 
             def inner(k, acc):
@@ -622,17 +632,20 @@ def culled_force_energy_raw(pos3, box_diag, pairs: TilePairList, n: int,
 def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                     dt, a_coef, b_coef, approx_recip, unroll,
                     mxu_reduce=False, prefetch=False, n_steps=None,
-                    slack=None):
+                    slack=None, final_energy=False):
     inv_sigma = 1.0 / sigma
     eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
+    e_scale = 4.0 * epsilon
     cutoff2_s = (cutoff / sigma) ** 2
     check_drift = slack is not None
 
     def kernel(box_ref, seed_ref, off_ref, cols_ref, ccx_ref, ptr2_ref,
                rowcx_ref, minv_ref, sigv_ref,
                x_in, v_in, f_in, x_ref, v_ref, f_ref, *rest):
-        if check_drift:
-            flag_ref, anchor_ref = rest
+        rest = list(rest)
+        flag_ref = rest.pop(0) if check_drift else None
+        e_ref = rest.pop(0) if final_energy else None
+        anchor_ref = rest.pop(0) if check_drift else None
         s = pl.program_id(0)
         Lx = box_ref[0, 0]
         Ly = box_ref[0, 1]
@@ -721,13 +734,40 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
         f_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
 
         # ---- culled tile-pair force pass ----
-        _row_force_pass(
-            x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
-            n, n_pad, tm, tn,
-            Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
-            inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
-            mxu_reduce, prefetch,
-        )
+        if final_energy:
+            # the LAST step's pass additionally accumulates the total
+            # potential with the exact reciprocal (carried-U for the NpT
+            # barostat: saves one standalone culled pass per attempt);
+            # earlier steps run the plain force pass
+            @pl.when(s != n_steps - 1)
+            def _force_only():
+                _row_force_pass(
+                    x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+                    n, n_pad, tm, tn,
+                    Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
+                    inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
+                    mxu_reduce, prefetch,
+                )
+
+            @pl.when(s == n_steps - 1)
+            def _force_energy():
+                e_ref[0, 0] = 0.0
+                _row_force_pass(
+                    x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+                    n, n_pad, tm, tn,
+                    Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
+                    inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
+                    mxu_reduce, prefetch, e_ref=e_ref, exact_energy=True,
+                )
+                e_ref[0, 0] = e_scale * e_ref[0, 0]
+        else:
+            _row_force_pass(
+                x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
+                n, n_pad, tm, tn,
+                Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
+                inv_sigma, eps_scale, cutoff2_s, approx_recip, unroll,
+                mxu_reduce, prefetch,
+            )
 
         if check_drift:
             # ---- in-kernel tile-skin invariant (replaces the runner's
@@ -775,22 +815,29 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
     static_argnames=("n", "n_steps", "tm", "tn", "sigma", "epsilon",
                      "cutoff", "dt", "a_coef", "b_coef", "approx_recip",
                      "interpret", "unroll", "mxu_reduce", "prefetch",
-                     "slack"),
+                     "slack", "final_energy"),
 )
 def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
                   minv, sigv, n: int, n_steps: int, tm: int, tn: int,
                   sigma: float, epsilon: float, cutoff: float, dt: float,
                   a_coef: float, b_coef: float, approx_recip: bool,
                   interpret: bool, unroll: int = 2, mxu_reduce: bool = False,
-                  prefetch: bool = False, slack: float = None):
+                  prefetch: bool = False, slack: float = None,
+                  final_energy: bool = False):
     """S-step fused BAOAB+force segment.
 
     With ``slack`` set, the kernel also evaluates the tile-skin
     invariant in its final grid step (top-2 joint drift from the entry
-    positions vs ``slack``, plus a non-finiteness latch) and returns a
-    fourth output: a (1, 1) f32 flag (>0.5 means the pair list may have
+    positions vs ``slack``, plus a non-finiteness latch) and returns an
+    extra output: a (1, 1) f32 flag (>0.5 means the pair list may have
     gone stale).  This replaces the runner's XLA drift check, whose
     small-fusion launches measured 145 us/segment on hardware.
+
+    With ``final_energy`` the last step's force pass also accumulates
+    the total truncated-LJ potential of the FINAL configuration with the
+    exact (Newton-refined) reciprocal, appended as another (1, 1)
+    output -- the NpT runner's carried U (one fewer standalone culled
+    pass per barostat attempt, ADVICE r3).
     """
     n_pad = x3.shape[1]
     capacity = pairs.rows.shape[1]
@@ -798,7 +845,7 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
     kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                              dt, a_coef, b_coef, approx_recip, unroll,
                              mxu_reduce, prefetch, n_steps=n_steps,
-                             slack=slack)
+                             slack=slack, final_energy=final_energy)
     full = lambda s: (0, 0)
     smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
@@ -812,6 +859,10 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
     if check_drift:
         out_specs.append(smem((1, 1)))
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    if final_energy:
+        out_specs.append(smem((1, 1)))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    if check_drift:
         scratch.append(pltpu.VMEM((3, n_pad), jnp.float32))
     outs = pl.pallas_call(
         kernel,
@@ -912,15 +963,50 @@ class CulledLJMD:
             unroll=self.unroll, prefetch=self.prefetch,
         )
 
+    def energy_differentiable(self, pos3, box_diag, pairs: TilePairList):
+        """Total truncated-LJ energy over the tile-pair list as a
+        DIFFERENTIABLE function of positions: ``jax.grad`` of this is
+        exactly the negative of the kernel's analytic culled force (the
+        CLAUDE.md ``grad(energy) == -force`` invariant on the flagship
+        path, not just the dense one -- VERDICT r3 item 5; reference
+        chiron/potential.py:21-24 establishes the grad-force contract).
+
+        Implemented as a ``jax.custom_vjp`` over one fused
+        force+energy pass with the exact (Newton-refined) reciprocal, so
+        the gradient costs nothing beyond the forward pass.  The pair
+        list is treated as constant data (no gradient into the spatial
+        hierarchy -- it is a piecewise-constant function of positions
+        with zero derivative wherever it is valid)."""
+
+        @jax.custom_vjp
+        def energy_fn(p):
+            _, e = self.force_energy(p, box_diag, pairs,
+                                     approx_recip=False)
+            return e
+
+        def fwd(p):
+            F, e = self.force_energy(p, box_diag, pairs,
+                                     approx_recip=False)
+            return e, F
+
+        def bwd(F, g):
+            return (-g * F,)
+
+        energy_fn.defvjp(fwd, bwd)
+        return energy_fn(pos3)
+
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
                     seed, step_offset, n_steps: int,
-                    approx_recip: bool = True, drift_slack: float = None):
+                    approx_recip: bool = True, drift_slack: float = None,
+                    final_energy: bool = False):
         """Advance ``n_steps`` with a fixed pair list; standard (x, v, F)
         convention at both ends (half-kick conversion inside).
 
         With ``drift_slack`` the kernel also evaluates the tile-skin
-        invariant in its final grid step and a fourth return value (a
-        scalar bool: stale/non-finite) is produced."""
+        invariant in its final grid step and an extra return value (a
+        scalar bool: stale/non-finite) is appended.  With
+        ``final_energy`` the exact-reciprocal potential of the final
+        configuration is appended as a further scalar."""
         w_in = v3 - (0.5 * self.dt) * f3 * self.minv
         outs = culled_md_raw(
             x3, w_in, f3, box_diag,
@@ -931,9 +1017,15 @@ class CulledLJMD:
             self.cutoff, self.dt, self.a, self.b, approx_recip,
             self.interpret, unroll=self.unroll, mxu_reduce=self.mxu_reduce,
             prefetch=self.prefetch, slack=drift_slack,
+            final_energy=final_energy,
         )
         x3, w_out, f_out = outs[0:3]
         v_std = w_out + (0.5 * self.dt) * f_out * self.minv
-        if drift_slack is None:
-            return x3, v_std, f_out
-        return x3, v_std, f_out, outs[3][0, 0] > 0.5
+        ret = [x3, v_std, f_out]
+        k = 3
+        if drift_slack is not None:
+            ret.append(outs[k][0, 0] > 0.5)
+            k += 1
+        if final_energy:
+            ret.append(outs[k][0, 0])
+        return tuple(ret)

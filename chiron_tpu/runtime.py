@@ -821,8 +821,8 @@ def _npt_autotune(vmax, n_acc, n_prop, interval):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["x", "v", "F", "step", "box_diag", "overflowed", "pairs",
-                 "x_anchor", "scale_used", "key", "vmax_scale",
+    data_fields=["x", "v", "F", "U", "step", "box_diag", "overflowed",
+                 "pairs", "x_anchor", "scale_used", "key", "vmax_scale",
                  "n_accepted", "n_proposed"],
     meta_fields=[],
 )
@@ -835,6 +835,10 @@ class CullNPTCarry:
     x: jnp.ndarray           # (3, n_pad)
     v: jnp.ndarray           # (3, n_pad)
     F: jnp.ndarray           # (3, n_pad)
+    U: jnp.ndarray           # () f32 carried exact potential of x (the
+                             # current config's Metropolis energy -- kept
+                             # fresh by the MD kernel's final-step energy
+                             # and by accepted proposals, ADVICE r3)
     step: jnp.ndarray        # (1, 1) i32 cumulative MD steps (noise ctr)
     box_diag: jnp.ndarray    # (1, 3)
     overflowed: jnp.ndarray  # () bool
@@ -940,9 +944,13 @@ def make_culled_npt_lj_runner(
             key0 = jax.random.PRNGKey(seed)
             key, vkey = jax.random.split(key0)
             v3 = md.sigv * jax.random.normal(vkey, (3, n_pad))
-            F3 = md.force(x3s, box_diag[0], pairs, approx_recip=approx)
+            F3, U0 = md.force_energy(x3s, box_diag[0], pairs)
+            if approx:
+                # keep the production approx-reciprocal force for the
+                # first segment; U0 stays exact for the Metropolis ratio
+                F3 = md.force(x3s, box_diag[0], pairs, approx_recip=True)
             return CullNPTCarry(
-                x=x3s, v=v3, F=F3,
+                x=x3s, v=v3, F=F3, U=U0,
                 step=jnp.zeros((1, 1), jnp.int32),
                 box_diag=box_diag,
                 overflowed=pairs.overflowed,
@@ -965,8 +973,11 @@ def make_culled_npt_lj_runner(
             pairs = carry.pairs
             pairs_new = pairs._replace(ccx=pairs.ccx * s,
                                        rowcx=pairs.rowcx * s)
-            # two culled passes: U of current config, U+F of the proposal
-            _, U = md.force_energy(carry.x, box[0], pairs)
+            # ONE culled pass per attempt: U of the current config is
+            # carried (exact, refreshed by the MD kernel's final-step
+            # energy and by accepted proposals -- ADVICE r3); only the
+            # proposal needs a fresh pass
+            U = carry.U
             F_new, U_new = md.force_energy(x_new, box_new[0], pairs_new)
             # minimum-image/frame validity as the box shrinks (ADVICE r2)
             box_ok = (
@@ -990,6 +1001,7 @@ def make_culled_npt_lj_runner(
             return CullNPTCarry(
                 x=sel(x_new, carry.x), v=carry.v,
                 F=sel(F_new, carry.F),
+                U=sel(U_new, U),
                 step=carry.step,
                 box_diag=sel(box_new, box),
                 overflowed=carry.overflowed,
@@ -1035,14 +1047,15 @@ def make_culled_npt_lj_runner(
                 )
                 for _k in range(n_sub):
                     carry = self._barostat_attempt(carry)
-                    x1, v1, F1 = md.run_segment(
+                    x1, v1, F1, U1 = md.run_segment(
                         carry.x, carry.v, carry.F, carry.box_diag[0],
                         carry.pairs, seed=jnp.int32(seed),
                         step_offset=carry.step[0, 0],
                         n_steps=barostat_interval, approx_recip=approx,
+                        final_energy=True,
                     )
                     carry = _dc_replace(
-                        carry, x=x1, v=v1, F=F1,
+                        carry, x=x1, v=v1, F=F1, U=U1,
                         step=carry.step + barostat_interval,
                     )
                 # combined skin invariant: thermal top-2 drift from the

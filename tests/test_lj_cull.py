@@ -353,3 +353,62 @@ def test_in_kernel_drift_check_latches_stale_list():
     state = runner.run(state, 400)
     with pytest.raises(RuntimeError, match="invariant violated"):
         runner.check(state)
+
+
+def test_culled_energy_grad_is_negative_force(sorted_system):
+    """grad(energy) == -force on the CULLED (flagship) path, not just
+    the dense one (VERDICT r3 item 5; CLAUDE.md invariant; reference
+    chiron/potential.py:21-24): the custom-VJP energy's gradient must be
+    exactly the kernel's analytic exact-reciprocal force, and both must
+    match the jnp dense oracle's autodiff gradient."""
+    import jax
+
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=4096)
+    assert not bool(pairs.overflowed)
+
+    F_kernel, _ = md.force_energy(pos3s, box_diag, pairs,
+                                  approx_recip=False)
+    g = jax.grad(
+        lambda p: md.energy_differentiable(p, box_diag, pairs)
+    )(pos3s)
+    # exact by construction (the VJP returns the same force array)
+    assert float(jnp.max(jnp.abs(g + F_kernel))) == 0.0
+
+    # and the gradient agrees with the jnp dense oracle's autodiff
+    def oracle_energy(p):
+        pos = p[:, :N].T
+        ids = jnp.arange(N)
+        d = pos[:, None, :] - pos[None, :, :]
+        d = d - box_diag * jnp.round(d / box_diag)
+        r2 = jnp.sum(d * d, -1)
+        m = (r2 < CUTOFF * CUTOFF) & (ids[:, None] < ids[None, :])
+        r2s = jnp.where(m, r2, 1.0)
+        inv2 = (SIGMA * SIGMA) / r2s
+        inv6 = inv2 * inv2 * inv2
+        return jnp.sum(jnp.where(m, 4 * EPS * (inv6 * inv6 - inv6), 0.0))
+
+    g_oracle = jax.grad(oracle_energy)(pos3s)
+    scale = float(jnp.max(jnp.abs(g_oracle)))
+    err = jnp.abs(g[:, :N] - g_oracle[:, :N])
+    # same boundary-flip tolerance as test_culled_force_matches_dense_
+    # oracle: a pair within f32 rounding of the cutoff moves a gradient
+    # element by at most |coef(rc)|*rc ~ 0.033 for these parameters
+    assert float(jnp.max(err)) < 0.05
+    assert float(jnp.percentile(err, 99.0)) / scale < 1e-5
+
+
+def test_segment_final_energy_matches_standalone(sorted_system):
+    """run_segment(final_energy=True) must return the same exact-
+    reciprocal potential as a standalone culled force+energy pass on the
+    final configuration (the NpT carried-U contract, ADVICE r3)."""
+    md, pos3s, box_diag = sorted_system
+    pairs = md.build_pairs(pos3s, box_diag, capacity=4096)
+    v0 = jnp.zeros_like(pos3s)
+    F0 = md.force(pos3s, box_diag, pairs, approx_recip=False)
+    x1, v1, F1, E_seg = md.run_segment(
+        pos3s, v0, F0, box_diag, pairs, seed=11, step_offset=0,
+        n_steps=5, final_energy=True,
+    )
+    _, E_ref = md.force_energy(x1, box_diag, pairs, approx_recip=False)
+    assert float(jnp.abs(E_seg - E_ref)) <= 1e-6 * abs(float(E_ref))
