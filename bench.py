@@ -19,6 +19,12 @@ import jax
 def main():
     import numpy as np
 
+    from chiron_tpu.utils import enable_compilation_cache
+
+    # persistent compile cache: a fresh process after the first ever run
+    # skips the axon remote compiler entirely (compile diet, BENCH.md)
+    enable_compilation_cache()
+
     from chiron_tpu import units
     from chiron_tpu.runtime import make_culled_lj_runner, make_fast_lj_runner
     from chiron_tpu.testsystems import LennardJonesFluid

@@ -477,9 +477,17 @@ def _culled_layout_init(md, dense, positions, box_vectors, sort_mode, n):
     # disorder into liquids with fatter tile bboxes
     count = int(probe.count[0, 0])
     capacity = min(cap_max, int(count * 2.0) + 128)
-    pairs = build_tile_pairs(
-        x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack,
-        capacity=capacity,
+    # the production list is a PREFIX SLICE of the probe list (entries
+    # are front-packed and count <= capacity), so no second
+    # build_tile_pairs program needs compiling -- the axon remote
+    # compiler charges seconds per distinct program (compile diet,
+    # VERDICT r3 item 9)
+    pairs = probe._replace(
+        rows=probe.rows[:, :capacity],
+        cols=probe.cols[:, :capacity],
+        ccx=probe.ccx[:, :capacity],
+        ptr2=jnp.minimum(probe.ptr2, capacity),
+        count=jnp.minimum(probe.count, capacity),
     )
     return x3s, box_diag, nslab, capacity, pairs
 

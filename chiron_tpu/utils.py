@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,3 +109,32 @@ def get_full_path(relative_path: str) -> str:
 def slice_array(arr, start_column: int, end_column: int):
     """Column slice helper (reference chiron/utils.py:85-98)."""
     return arr[:, start_column:end_column]
+
+
+def enable_compilation_cache(path: str = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    The axon remote TPU compiler takes seconds-to-minutes per distinct
+    program (CLAUDE.md); the persistent cache keyed by HLO hash makes
+    every program after the first process COLD-START at warm speed.
+    Safe to call multiple times.  Returns the cache directory.
+
+    Benchmarks and examples call this; library code does not (the cache
+    location is a deployment decision).
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "CHIRON_TPU_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "chiron_tpu_jax"
+            ),
+        )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every program, even fast-compiling ones: the axon round-trip
+    # dominates, not local compile time
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path
