@@ -297,9 +297,22 @@ class MBAREstimator:
         """State-overlap diagnostics (matrix / eigenvalues / scalar)."""
         return mbar_overlap(self._u_kn, self._N_k, self.f_k)
 
-    def compute_expectation(self, A_n: np.ndarray, state_index: int = 0):
-        """<A> at state ``state_index`` via MBAR weights."""
+    def compute_expectation(self, A_n: np.ndarray, state_index: int = 0,
+                            return_uncertainty: bool = False):
+        """<A> at state ``state_index`` via MBAR weights.
+
+        With ``return_uncertainty``, also returns the weighted standard
+        error sqrt(Var_w(A) / ESS) with the Kish effective sample size
+        ESS = 1 / sum(w_n^2) -- the standard importance-sampling error
+        estimate (pymbar exposes the same capability through
+        ``compute_expectations``)."""
         W = mbar_weights(self._u_kn, self._N_k, self.f_k_)
         w = W[state_index]
         w = w / w.sum()
-        return float(np.dot(w, np.asarray(A_n, dtype=np.float64)))
+        A_n = np.asarray(A_n, dtype=np.float64)
+        mean = float(np.dot(w, A_n))
+        if not return_uncertainty:
+            return mean
+        ess = 1.0 / np.sum(w * w)
+        var = float(np.dot(w, (A_n - mean) ** 2))
+        return mean, float(np.sqrt(var / max(ess, 1.0)))

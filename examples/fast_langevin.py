@@ -17,6 +17,8 @@ from chiron_tpu.testsystems import LennardJonesFluid
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     n = 4000
     fluid = LennardJonesFluid(nparticles=n, reduced_density=0.8)
     box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)

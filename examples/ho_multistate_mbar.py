@@ -22,6 +22,8 @@ from chiron_tpu.utils import PRNG
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     ho = HarmonicOscillator()
     n_states = 4
     T = 300.0 * units.kelvin

@@ -23,6 +23,8 @@ from chiron_tpu.utils import PRNG
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     n_particles = 216
     temperature = 298 * units.kelvin
     pressure = 1 * units.atmosphere

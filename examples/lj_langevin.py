@@ -19,6 +19,8 @@ from chiron_tpu.utils import PRNG
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     lj_fluid = LennardJonesFluid(nparticles=1000, reduced_density=0.1)
     PRNG.set_seed(1234)
 

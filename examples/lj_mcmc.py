@@ -22,6 +22,8 @@ from chiron_tpu.utils import PRNG
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     # TraPPE-UA methane (reference Examples/LJ_MCMC.py:10-13)
     sigma = 0.373 * units.nanometer
     kB_K = 0.008314462618  # kJ/mol/K

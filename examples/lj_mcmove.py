@@ -17,6 +17,8 @@ from chiron_tpu.utils import PRNG
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     fluid = LennardJonesFluid(nparticles=1100, reduced_density=0.1)
 
     PRNG.set_seed(1234)

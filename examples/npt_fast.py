@@ -25,6 +25,8 @@ from chiron_tpu.utils import get_data_file_path
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     # methane TraPPE-UA parameters, as in the reference's LJ_MCMC example
     n = 1100
     sigma = 0.373 * units.nanometer

@@ -19,6 +19,8 @@ from chiron_tpu.testsystems import LennardJonesFluid
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     n_devices = len(jax.devices())
     replicas_per_device = max(1, 8 // n_devices)
     n_replicas = n_devices * replicas_per_device

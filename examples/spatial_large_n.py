@@ -25,6 +25,8 @@ from chiron_tpu.testsystems import LennardJonesFluid
 
 
 def main():
+    from chiron_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # reuse compiled programs across runs
     n = 4096  # scale up on real hardware; modest here so CPU finishes fast
     fluid = LennardJonesFluid(nparticles=n, reduced_density=0.8)
 

@@ -147,3 +147,66 @@ def test_mbar_overlap_diagnostics():
     est2 = MBAREstimator()
     est2.initialize(u2, N2)
     assert est2.compute_overlap()["scalar"] > 0.9
+
+
+def test_mbar_expectation_uncertainty():
+    """<x^2> at state 0 of a sampled HO ladder: the weighted-SE estimate
+    must bracket the analytic value and shrink with more samples."""
+    Ks = [1.0, 2.0]
+    hits = 0
+    ses = []
+    for seed in range(6):
+        u_kn, N_k, _ = _ho_samples(Ks, 1500, seed=seed)
+        # reconstruct the samples used by _ho_samples for A_n = x^2
+        rng = np.random.default_rng(seed)
+        xs = [rng.normal(0.0, 1.0 / np.sqrt(K), size=1500) for K in Ks]
+        x_n = np.concatenate(xs)
+        est = MBAREstimator()
+        est.initialize(u_kn, N_k)
+        mean, se = est.compute_expectation(
+            x_n ** 2, state_index=0, return_uncertainty=True
+        )
+        assert se > 0
+        ses.append(se)
+        if abs(mean - 1.0) < 3.0 * se:  # <x^2> = 1/K_0 = 1
+            hits += 1
+    assert hits >= 5, (hits, ses)
+
+
+def test_registry_unregistered_class_returns_none():
+    from chiron_tpu.potential import (
+        HarmonicOscillatorPotential, stack_registered_params,
+    )
+    from chiron_tpu.testsystems import HarmonicOscillator
+    from chiron_tpu import units as u
+
+    class NotRegistered:
+        pass
+
+    ho = HarmonicOscillator()
+    K = 1.0 * u.kilocalories_per_mole / u.angstrom ** 2
+    pots = [HarmonicOscillatorPotential(ho.topology, k=K), NotRegistered()]
+    assert stack_registered_params(pots) is None
+
+
+def test_registry_inconsistent_shapes_returns_none():
+    import jax.numpy as jnp
+    from chiron_tpu.potential import (
+        register_potential_kind, stack_registered_params,
+    )
+
+    class VecWell:
+        def __init__(self, x0):
+            self.x0 = jnp.asarray(x0, jnp.float32)
+
+    register_potential_kind(
+        VecWell,
+        params_of=lambda p: {"x0": p.x0},
+        energy_fn=lambda prm, x, box: jnp.sum((x - prm["x0"]) ** 2),
+    )
+    ok = stack_registered_params([VecWell([[0.0] * 3]), VecWell([[0.0] * 3])])
+    assert ok is not None
+    bad = stack_registered_params(
+        [VecWell([[0.0] * 3]), VecWell([[0.0] * 3, [1.0] * 3])]
+    )
+    assert bad is None
