@@ -123,3 +123,39 @@ def test_langevin_reporter_cadence():
     steps = [r["step"] for r in rep.records]
     assert steps == [0, 50, 100, 150]
     assert all("potential_energy" in r for r in rep.records)
+
+
+def test_gradient_through_trajectory_matches_finite_difference():
+    """Differentiable MD (the reference's tagline capability it never
+    exercises): reverse-mode d<U_final>/d_eps through a scanned BAOAB
+    chain must match a central finite difference
+    (examples/differentiable_md.py is the full demo)."""
+    import jax
+    import jax.numpy as jnp
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples"))
+    from differentiable_md import make_traj_energy
+
+    from chiron_tpu import units
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    n = 27
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.5)
+    box_diag = jnp.diagonal(jnp.asarray(
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        jnp.float32))
+    x0 = jnp.asarray(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        jnp.float32)
+    masses = jnp.full((n,), 39.9, jnp.float32)
+    loss = make_traj_energy(n, box_diag, units.kB_MD * 120.0, masses,
+                            n_steps=25)
+    key = jax.random.PRNGKey(3)
+    eps0, sig0 = jnp.float32(0.9), jnp.float32(0.34)
+    g = float(jax.grad(loss)(eps0, sig0, x0, key))
+    h = 1e-3
+    fd = (float(loss(eps0 + h, sig0, x0, key))
+          - float(loss(eps0 - h, sig0, x0, key))) / (2 * h)
+    assert abs(fd - g) / max(abs(fd), 1e-9) < 0.05, (g, fd)
