@@ -280,3 +280,46 @@ def test_culled_npt_slab_key_scaled_list_matches_rebuilt():
             capacity=st.pairs.cols.shape[1])
         _, U_re = md.force_energy(x_new, box_new[0], pairs_re)
         assert abs(float(U_scaled) - float(U_re)) < 1e-3, s_val
+
+
+@pytest.mark.slow
+def test_culled_npt_density_parity_vs_dense_runner():
+    """Culled (rescaled-list) vs dense NpT runner: same state point, the
+    mean volumes must agree (VERDICT r3 item 8; the hardware companion
+    measured 0.038% at N=4000/100k steps and 0.189% at N=16384 -- this
+    CPU-tier version asserts a looser bound on a shorter chain)."""
+    from chiron_tpu.runtime import make_npt_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    n = 512
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.6)
+    box = fluid.box_vectors.value_in_unit_system(units.md_unit_system)
+    pos = fluid.positions.value_in_unit_system(units.md_unit_system)
+    T = 120.0 * units.kelvin
+    P = 100.0 * units.atmosphere
+
+    cul = make_culled_npt_lj_runner(
+        potential=fluid.potential, n_particles=n, topology=fluid.topology,
+        temperature=T, pressure=P, timestep=2.0 * units.femtoseconds,
+        tm=8, tn=16, segment_steps=50, barostat_interval=25)
+    cs = cul.init(pos, box, seed=11)
+    cs = cul.run(cs, 1500)
+    vols_c = []
+    for _ in range(10):
+        cs = cul.run(cs, 250)
+        vols_c.append(float(cul.volume(cs)))
+    cul.check(cs)
+
+    den = make_npt_lj_runner(
+        potential=fluid.potential, n_particles=n, topology=fluid.topology,
+        temperature=T, pressure=P, timestep=2.0 * units.femtoseconds,
+        tm=128, barostat_interval=25)
+    ds = den.init(pos, box, seed=22)
+    ds = den.run(ds, 1500)
+    vols_d = []
+    for _ in range(10):
+        ds = den.run(ds, 250)
+        vols_d.append(float(den.volume(ds)))
+
+    vc, vd = float(np.mean(vols_c)), float(np.mean(vols_d))
+    assert abs(vc - vd) / vd < 0.02, (vc, vd)
