@@ -555,8 +555,18 @@ def make_culled_lj_runner(
     mxu_reduce: bool = False,
     fused_rebuild: bool = False,
     prefetch: bool = False,
+    megakernel: bool = False,
+    repair_passes: int = 16,
 ):
     """Culled tile-pair fused LJ runner: the N~4000 flagship engine.
+
+    With ``megakernel=True`` (pure-x sort regime only) each segment is
+    ONE Pallas call with ZERO per-segment XLA ops: the tile-pair list is
+    built in-kernel into SMEM scratch at grid step 0, the tile-skin
+    drift check runs at the final step, and the spatial order is
+    repaired by ``repair_passes`` odd-even transposition passes instead
+    of a full XLA re-sort (ops/lj_mega.py; the capacity/shift/drift
+    latches guard every invariant regardless of residual disorder).
 
     Each ``segment_steps``-step segment is ONE fused Pallas call (BAOAB +
     culled force, state resident in VMEM).  The whole ``run(state, n)`` is
@@ -625,6 +635,48 @@ def make_culled_lj_runner(
                 return self._bodies[cache_key]
             nslab, capacity, seed = self.nslab, self.capacity, self.seed
             approx = not exact_forces
+            if megakernel:
+                if nslab != 0:
+                    raise ValueError(
+                        "megakernel supports the pure-x sort regime only "
+                        "(nslab == 0); use sort_mode='x' or the default "
+                        "path for slab-key workloads"
+                    )
+                if sort_every != 1 or rebuild_every != 1 or fused_rebuild:
+                    raise ValueError(
+                        "megakernel rebuilds/repairs every segment; "
+                        "cadence knobs and fused_rebuild do not apply"
+                    )
+                from .ops.lj_mega import mega_md_raw
+
+                def mega_body(carry: CullCarry, _):
+                    box_diag = carry.box_diag
+                    w_in = (
+                        carry.v
+                        - (0.5 * md.dt) * carry.F * md.minv
+                    )
+                    x1, w1, F1, flag = mega_md_raw(
+                        carry.x, w_in, carry.F, box_diag[0],
+                        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+                        carry.step.astype(jnp.int32),
+                        md.minv, md.sigv,
+                        n, n_steps, md.tm, md.tn, md.sigma, md.epsilon,
+                        md.cutoff, md.dt, md.a, md.b, approx,
+                        md.interpret, unroll=md.unroll, slack=md.slack,
+                        capacity=capacity, repair_passes=repair_passes,
+                    )
+                    v1 = w1 + (0.5 * md.dt) * F1 * md.minv
+                    return CullCarry(
+                        x=x1, v=v1, F=F1,
+                        step=carry.step + n_steps,
+                        box_diag=box_diag,
+                        overflowed=carry.overflowed | (flag[0, 0] > 0.5),
+                        pairs=carry.pairs,
+                        x_anchor=carry.x_anchor,
+                    ), None
+
+                self._bodies[cache_key] = mega_body
+                return mega_body
             # one-Pallas-call sort+build (ops/sortbuild.py): measured
             # 290 us vs the XLA path's 394 us per segment at N=4000 --
             # throughput-neutral there (BENCH.md), so opt-in; it needs a
