@@ -159,7 +159,7 @@ def mbar_covariance(
     W = mbar_weights(u_kn, N_k, f_k).T  # (N, K): W_nk
     N_k = np.asarray(N_k, dtype=np.float64)
     K = W.shape[1]
-    U, S, Vt = np.linalg.svd(W, full_matrices=False)
+    _, S, Vt = np.linalg.svd(W, full_matrices=False)
     V = Vt.T
     Sig = np.diag(S)
     inner = np.eye(K) - Sig @ (V.T * N_k) @ V @ Sig
@@ -173,11 +173,13 @@ def mbar_overlap(
 
     ``matrix[i, j] = sum_n N_j W_ni W_nj`` is the probability that a
     sample drawn from state i would be "assigned" to state j; each row
-    sums to 1.  Its largest eigenvalue is exactly 1; the second-largest
-    ("scalar" below, pymbar's convention) measures how close the state
-    graph is to disconnected -- values near 1 mean at least one state
-    pair has essentially no phase-space overlap and the corresponding
-    Delta f is unreliable.
+    sums to 1.  Its largest eigenvalue is exactly 1, and the
+    second-largest eigenvalue measures how close the state graph is to
+    disconnected.  ``scalar`` follows pymbar's ``compute_overlap``
+    convention: ``1 - eigenvalues[1]``, so values near 1 mean a
+    well-connected ladder and values near 0 mean at least one state
+    pair has essentially no phase-space overlap (the corresponding
+    Delta f is unreliable).
     """
     W = mbar_weights(u_kn, N_k, f_k)  # (K, N)
     N_k = np.asarray(N_k, dtype=np.float64)
@@ -186,7 +188,7 @@ def mbar_overlap(
     return {
         "matrix": O,
         "eigenvalues": eigvals,
-        "scalar": float(eigvals[1]) if len(eigvals) > 1 else 1.0,
+        "scalar": float(1.0 - eigvals[1]) if len(eigvals) > 1 else 1.0,
     }
 
 

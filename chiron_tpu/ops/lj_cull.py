@@ -494,6 +494,116 @@ def _row_force_pass(x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
     f_ref[...] = eps_scale * f_ref[...]
 
 
+def _baoab_phase(x_ref, v_ref, f_ref, minv_ref, sigv_ref, seed_ref,
+                 off_ref, s, n_pad, dt, a_coef, b_coef,
+                 Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz):
+    """In-kernel BAOAB step: merged kick, counter-based O-noise, drifts,
+    periodic wrap.  Writes the advanced (x, v) back and zeroes ``f_ref``
+    for the force pass that follows.  Shared verbatim by the classic MD
+    kernel and the megakernel (``ops/lj_mega.py``) so the noise stream
+    and step semantics can never diverge between them.
+    """
+    x = x_ref[...]
+    v = v_ref[...]
+    F = f_ref[...]
+    v = v + dt * F * minv_ref[...]
+    x = x + (dt * 0.5) * v
+    # Both Box-Muller outputs are used (r cos, r sin are INDEPENDENT
+    # standard normals from one uniform pair), so the splitmix32
+    # counters, log and sqrt run on HALF the lanes: the first
+    # n_pad/2 lanes of each row take the cos branch, the second half
+    # the sin branch.  Same counter space as the one-output scheme
+    # (lane ids over (3, n_pad/2)); the jnp step oracle in
+    # tests/test_lj_cull.py mirrors this stream exactly.
+    half = n_pad // 2
+    lane = (
+        jax.lax.broadcasted_iota(jnp.uint32, (3, half), 0)
+        * jnp.uint32(half)
+        + jax.lax.broadcasted_iota(jnp.uint32, (3, half), 1)
+    )
+    step = jnp.uint32(s) + off_ref[0, 0].astype(jnp.uint32)
+    base = (
+        seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + step * jnp.uint32(0x85EBCA6B)
+    )
+
+    def mix(z):
+        z = z ^ (z >> 16)
+        z = z * jnp.uint32(0x85EBCA6B)
+        z = z ^ (z >> 13)
+        z = z * jnp.uint32(0xC2B2AE35)
+        z = z ^ (z >> 16)
+        return z
+
+    c1 = (lane * jnp.uint32(2)) * jnp.uint32(0x9E3779B9) + base
+    c2 = (lane * jnp.uint32(2) + jnp.uint32(1)) * jnp.uint32(
+        0x9E3779B9
+    ) + base
+    u1 = (
+        (mix(c1) >> 8).astype(jnp.int32).astype(jnp.float32)
+        * (1.0 / 16777216.0)
+    )
+    u2 = (
+        (mix(c2) >> 8).astype(jnp.int32).astype(jnp.float32)
+        * (1.0 / 16777216.0)
+    )
+    u1 = jnp.maximum(u1, 1e-7)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    noise = jnp.concatenate(
+        [r * jnp.cos(theta), r * jnp.sin(theta)], axis=1
+    )
+    v = a_coef * v + b_coef * sigv_ref[...] * noise
+    x = x + (dt * 0.5) * v
+    # wrap with (3, 1) per-axis constants (broadcast beats materializing
+    # three full (1, n_pad) rows) and a multiply instead of the divide
+    Lcol = jnp.concatenate(
+        [jnp.full((1, 1), Lx), jnp.full((1, 1), Ly),
+         jnp.full((1, 1), Lz)], axis=0
+    )
+    inv_Lcol = jnp.concatenate(
+        [jnp.full((1, 1), inv_Lx), jnp.full((1, 1), inv_Ly),
+         jnp.full((1, 1), inv_Lz)], axis=0
+    )
+    x = x - jnp.floor(x * inv_Lcol) * Lcol
+    x_ref[...] = x
+    v_ref[...] = v
+    f_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
+
+
+def _tile_skin_drift_bad(x_ref, anchor_ref, n, n_pad, slack,
+                         Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz):
+    """Tile-skin invariant: returns the boolean latch condition -- the
+    top-2 joint min-image drift from the segment anchor exceeds
+    ``slack``, or any live coordinate is non-finite.  Shared by the
+    classic MD kernel and the megakernel (callers decide how the result
+    combines with their flag register).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+    valid = lane < n
+    d2 = jnp.zeros((1, n_pad), jnp.float32)
+    finite_ok = jnp.float32(1.0)
+    for ax, (L, invL) in enumerate(
+        ((Lx, inv_Lx), (Ly, inv_Ly), (Lz, inv_Lz))
+    ):
+        dxa = (x_ref[ax, :] - anchor_ref[ax, :]).reshape(1, n_pad)
+        dxa = dxa - L * jnp.floor(dxa * invL + 0.5)
+        d2 = d2 + dxa * dxa
+        xa = jnp.where(valid, x_ref[ax, :].reshape(1, n_pad), 0.0)
+        # NaN fails the comparison too (NaN < y is False)
+        finite_ok = finite_ok * jnp.where(
+            jnp.all(jnp.abs(xa) < jnp.float32(3.0e38)), 1.0, 0.0,
+        )
+    d = jnp.sqrt(jnp.where(valid, d2, 0.0))
+    m1 = jnp.max(d)
+    others = jnp.where(d == m1, jnp.float32(-1.0), d)
+    m2 = jnp.maximum(jnp.max(others), 0.0)
+    # two lanes tied at the max -> the second drift IS m1
+    tied = jnp.sum(jnp.where(d == m1, 1.0, 0.0)) > 1.5
+    top2 = m1 + jnp.where(tied, m1, m2)
+    return (top2 > slack) | (finite_ok < 0.5)
+
+
 def _make_force_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                        approx_recip, unroll, mxu_reduce=False,
                        prefetch=False):
@@ -666,72 +776,11 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                 flag_ref[0, 0] = 0.0
 
         # ---- BAOAB phase: merged kick, O-noise, drifts, wrap ----
-        x = x_ref[...]
-        v = v_ref[...]
-        F = f_ref[...]
-        v = v + dt * F * minv_ref[...]
-        x = x + (dt * 0.5) * v
-        # Both Box-Muller outputs are used (r cos, r sin are INDEPENDENT
-        # standard normals from one uniform pair), so the splitmix32
-        # counters, log and sqrt run on HALF the lanes: the first
-        # n_pad/2 lanes of each row take the cos branch, the second half
-        # the sin branch.  Same counter space as the one-output scheme
-        # (lane ids over (3, n_pad/2)); the jnp step oracle in
-        # tests/test_lj_cull.py mirrors this stream exactly.
-        half = n_pad // 2
-        lane = (
-            jax.lax.broadcasted_iota(jnp.uint32, (3, half), 0)
-            * jnp.uint32(half)
-            + jax.lax.broadcasted_iota(jnp.uint32, (3, half), 1)
+        _baoab_phase(
+            x_ref, v_ref, f_ref, minv_ref, sigv_ref, seed_ref, off_ref,
+            s, n_pad, dt, a_coef, b_coef,
+            Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
         )
-        step = jnp.uint32(s) + off_ref[0, 0].astype(jnp.uint32)
-        base = (
-            seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-            + step * jnp.uint32(0x85EBCA6B)
-        )
-
-        def mix(z):
-            z = z ^ (z >> 16)
-            z = z * jnp.uint32(0x85EBCA6B)
-            z = z ^ (z >> 13)
-            z = z * jnp.uint32(0xC2B2AE35)
-            z = z ^ (z >> 16)
-            return z
-
-        c1 = (lane * jnp.uint32(2)) * jnp.uint32(0x9E3779B9) + base
-        c2 = (lane * jnp.uint32(2) + jnp.uint32(1)) * jnp.uint32(
-            0x9E3779B9
-        ) + base
-        u1 = (
-            (mix(c1) >> 8).astype(jnp.int32).astype(jnp.float32)
-            * (1.0 / 16777216.0)
-        )
-        u2 = (
-            (mix(c2) >> 8).astype(jnp.int32).astype(jnp.float32)
-            * (1.0 / 16777216.0)
-        )
-        u1 = jnp.maximum(u1, 1e-7)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = _TWO_PI * u2
-        noise = jnp.concatenate(
-            [r * jnp.cos(theta), r * jnp.sin(theta)], axis=1
-        )
-        v = a_coef * v + b_coef * sigv_ref[...] * noise
-        x = x + (dt * 0.5) * v
-        # wrap with (3, 1) per-axis constants (broadcast beats materializing
-        # three full (1, n_pad) rows) and a multiply instead of the divide
-        Lcol = jnp.concatenate(
-            [jnp.full((1, 1), Lx), jnp.full((1, 1), Ly),
-             jnp.full((1, 1), Lz)], axis=0
-        )
-        inv_Lcol = jnp.concatenate(
-            [jnp.full((1, 1), inv_Lx), jnp.full((1, 1), inv_Ly),
-             jnp.full((1, 1), inv_Lz)], axis=0
-        )
-        x = x - jnp.floor(x * inv_Lcol) * Lcol
-        x_ref[...] = x
-        v_ref[...] = v
-        f_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
 
         # ---- culled tile-pair force pass ----
         if final_energy:
@@ -775,36 +824,10 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             # fusion launches -- 2.9 us/step at S=50) ----
             @pl.when(s == n_steps - 1)
             def _drift_check():
-                lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, n_pad), 1
+                bad = _tile_skin_drift_bad(
+                    x_ref, anchor_ref, n, n_pad, slack,
+                    Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
                 )
-                valid = lane < n
-                d2 = jnp.zeros((1, n_pad), jnp.float32)
-                finite_ok = jnp.float32(1.0)
-                for ax, (L, invL) in enumerate(
-                    ((Lx, inv_Lx), (Ly, inv_Ly), (Lz, inv_Lz))
-                ):
-                    dxa = (
-                        x_ref[ax, :] - anchor_ref[ax, :]
-                    ).reshape(1, n_pad)
-                    dxa = dxa - L * jnp.floor(dxa * invL + 0.5)
-                    d2 = d2 + dxa * dxa
-                    xa = jnp.where(
-                        valid, x_ref[ax, :].reshape(1, n_pad), 0.0
-                    )
-                    # NaN fails the comparison too (NaN < y is False)
-                    finite_ok = finite_ok * jnp.where(
-                        jnp.all(jnp.abs(xa) < jnp.float32(3.0e38)),
-                        1.0, 0.0,
-                    )
-                d = jnp.sqrt(jnp.where(valid, d2, 0.0))
-                m1 = jnp.max(d)
-                others = jnp.where(d == m1, jnp.float32(-1.0), d)
-                m2 = jnp.maximum(jnp.max(others), 0.0)
-                # two lanes tied at the max -> the second drift IS m1
-                tied = jnp.sum(jnp.where(d == m1, 1.0, 0.0)) > 1.5
-                top2 = m1 + jnp.where(tied, m1, m2)
-                bad = (top2 > slack) | (finite_ok < 0.5)
                 flag_ref[0, 0] = jnp.where(bad, 1.0, 0.0)
 
     return kernel

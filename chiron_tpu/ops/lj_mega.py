@@ -64,9 +64,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lj_cull import _row_force_pass
-
-_TWO_PI = 6.2831853071795864
+from .lj_cull import _baoab_phase, _row_force_pass, _tile_skin_drift_bad
 
 
 def _linshift(v, d, R, C):
@@ -260,64 +258,14 @@ def _make_mega_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             bad = (total > capacity) | (shift_bad > 0.5)
             flag_ref[0, 0] = jnp.where(bad, 1.0, flag_ref[0, 0])
 
-        # ---- BAOAB phase (identical to ops/lj_cull.py's MD kernel) ----
-        x = x_ref[...]
-        v = v_ref[...]
-        F = f_ref[...]
-        v = v + dt * F * minv_ref[...]
-        x = x + (dt * 0.5) * v
-        half = n_pad // 2
-        lane = (
-            jax.lax.broadcasted_iota(jnp.uint32, (3, half), 0)
-            * jnp.uint32(half)
-            + jax.lax.broadcasted_iota(jnp.uint32, (3, half), 1)
+        # ---- BAOAB phase (the SAME helper as ops/lj_cull.py's MD
+        # kernel: the bit-for-bit parity contract with the classic path
+        # rides on sharing the noise stream and step semantics) ----
+        _baoab_phase(
+            x_ref, v_ref, f_ref, minv_ref, sigv_ref, seed_ref, off_ref,
+            s, n_pad, dt, a_coef, b_coef,
+            Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
         )
-        step = jnp.uint32(s) + off_ref[0, 0].astype(jnp.uint32)
-        base = (
-            seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-            + step * jnp.uint32(0x85EBCA6B)
-        )
-
-        def mix(z):
-            z = z ^ (z >> 16)
-            z = z * jnp.uint32(0x85EBCA6B)
-            z = z ^ (z >> 13)
-            z = z * jnp.uint32(0xC2B2AE35)
-            z = z ^ (z >> 16)
-            return z
-
-        c1 = (lane * jnp.uint32(2)) * jnp.uint32(0x9E3779B9) + base
-        c2 = (lane * jnp.uint32(2) + jnp.uint32(1)) * jnp.uint32(
-            0x9E3779B9
-        ) + base
-        u1 = (
-            (mix(c1) >> 8).astype(jnp.int32).astype(jnp.float32)
-            * (1.0 / 16777216.0)
-        )
-        u2 = (
-            (mix(c2) >> 8).astype(jnp.int32).astype(jnp.float32)
-            * (1.0 / 16777216.0)
-        )
-        u1 = jnp.maximum(u1, 1e-7)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = _TWO_PI * u2
-        noise = jnp.concatenate(
-            [r * jnp.cos(theta), r * jnp.sin(theta)], axis=1
-        )
-        v = a_coef * v + b_coef * sigv_ref[...] * noise
-        x = x + (dt * 0.5) * v
-        Lcol = jnp.concatenate(
-            [jnp.full((1, 1), Lx), jnp.full((1, 1), Ly),
-             jnp.full((1, 1), Lz)], axis=0
-        )
-        inv_Lcol = jnp.concatenate(
-            [jnp.full((1, 1), inv_Lx), jnp.full((1, 1), inv_Ly),
-             jnp.full((1, 1), inv_Lz)], axis=0
-        )
-        x = x - jnp.floor(x * inv_Lcol) * Lcol
-        x_ref[...] = x
-        v_ref[...] = v
-        f_ref[...] = jnp.zeros((3, n_pad), jnp.float32)
 
         _row_force_pass(
             x_ref, f_ref, cols_ref, ccx_ref, ptr2_ref, rowcx_ref,
@@ -328,32 +276,13 @@ def _make_mega_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
 
         @pl.when(s == n_steps - 1)
         def _drift_and_repair():
-            # ---- tile-skin invariant (round-4 drift-fold semantics) ----
-            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-            valid1 = lane1 < n
-            d2 = jnp.zeros((1, n_pad), jnp.float32)
-            finite_ok = jnp.float32(1.0)
-            for ax, (L, invL) in enumerate(
-                ((Lx, inv_Lx), (Ly, inv_Ly), (Lz, inv_Lz))
-            ):
-                dxa = (
-                    x_ref[ax, :] - anchor_ref[ax, :]
-                ).reshape(1, n_pad)
-                dxa = dxa - L * jnp.floor(dxa * invL + 0.5)
-                d2 = d2 + dxa * dxa
-                xa = jnp.where(
-                    valid1, x_ref[ax, :].reshape(1, n_pad), 0.0
-                )
-                finite_ok = finite_ok * jnp.where(
-                    jnp.all(jnp.abs(xa) < jnp.float32(3.0e38)), 1.0, 0.0,
-                )
-            d = jnp.sqrt(jnp.where(valid1, d2, 0.0))
-            m1 = jnp.max(d)
-            others = jnp.where(d == m1, jnp.float32(-1.0), d)
-            m2 = jnp.maximum(jnp.max(others), 0.0)
-            tied = jnp.sum(jnp.where(d == m1, 1.0, 0.0)) > 1.5
-            top2 = m1 + jnp.where(tied, m1, m2)
-            bad = (top2 > slack) | (finite_ok < 0.5)
+            # ---- tile-skin invariant (round-4 drift-fold semantics;
+            # shared helper -- here the latch ORs into the build's
+            # capacity/shift flag instead of overwriting it) ----
+            bad = _tile_skin_drift_bad(
+                x_ref, anchor_ref, n, n_pad, slack,
+                Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
+            )
             flag_ref[0, 0] = jnp.where(bad, 1.0, flag_ref[0, 0])
 
             # ---- odd-even repair of the spatial order (replaces the

@@ -532,14 +532,19 @@ def stack_registered_params(potentials, box_diag=None):
     box = (None if box_diag is None
            else jnp.asarray(box_diag, jnp.float32).reshape(3))
 
+    # extract each potential's parameters exactly once; the same dicts
+    # feed both shape validation and stacking (a params_of with real
+    # work, or any non-determinism, must not run twice per state)
+    extracted = [
+        {k: jnp.asarray(v, jnp.float32) for k, v in s.params_of(p).items()}
+        for p, s in zip(potentials, specs)
+    ]
     per_kind = {}
     for u in used:
         shapes = None
-        for p, s in zip(potentials, specs):
+        for d, s in zip(extracted, specs):
             if s is not u:
                 continue
-            d = {k: jnp.asarray(v, jnp.float32)
-                 for k, v in u.params_of(p).items()}
             if shapes is None:
                 shapes = {k: v.shape for k, v in d.items()}
             elif set(shapes) != set(d) or any(
@@ -550,14 +555,8 @@ def stack_registered_params(potentials, box_diag=None):
                 return None
         stacked = {}
         for k, shp in shapes.items():
-            rows = []
-            for p, s in zip(potentials, specs):
-                if s is u:
-                    rows.append(
-                        jnp.asarray(u.params_of(p)[k], jnp.float32)
-                    )
-                else:
-                    rows.append(jnp.zeros(shp, jnp.float32))
+            rows = [d[k] if s is u else jnp.zeros(shp, jnp.float32)
+                    for d, s in zip(extracted, specs)]
             stacked[k] = jnp.stack(rows)
         per_kind[u.name] = stacked
 

@@ -1004,11 +1004,12 @@ def make_culled_npt_lj_runner(
             key0 = jax.random.PRNGKey(seed)
             key, vkey = jax.random.split(key0)
             v3 = md.sigv * jax.random.normal(vkey, (3, n_pad))
+            # One exact pass supplies both the carried Metropolis energy
+            # and the first segment's entry force (the ~6e-5 relative
+            # exact-vs-approx force difference only perturbs one half-kick
+            # and is far below the Langevin noise floor; using it avoids
+            # compiling a second, NpT-only force program).
             F3, U0 = md.force_energy(x3s, box_diag[0], pairs)
-            if approx:
-                # keep the production approx-reciprocal force for the
-                # first segment; U0 stays exact for the Metropolis ratio
-                F3 = md.force(x3s, box_diag[0], pairs, approx_recip=True)
             return CullNPTCarry(
                 x=x3s, v=v3, F=F3, U=U0,
                 step=jnp.zeros((1, 1), jnp.int32),

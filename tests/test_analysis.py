@@ -131,7 +131,8 @@ def test_mbar_delta_f_ij_consistency():
 
 
 def test_mbar_overlap_diagnostics():
-    # well-overlapping ladder: scalar far from 1, rows sum to 1
+    # pymbar convention: scalar = 1 - eigenvalues[1]; near 1 = connected.
+    # well-overlapping ladder: scalar far from 0, rows sum to 1
     Ks = [1.0, 1.5, 2.25]
     u_kn, N_k, _ = _ho_samples(Ks, 2000, seed=5)
     est = MBAREstimator()
@@ -141,12 +142,12 @@ def test_mbar_overlap_diagnostics():
     assert O.shape == (3, 3)
     assert np.allclose(O.sum(axis=1), 1.0, atol=1e-8)
     assert ov["eigenvalues"][0] == pytest.approx(1.0, abs=1e-8)
-    assert ov["scalar"] < 0.5
-    # (nearly) disjoint ladder: scalar approaches 1
+    assert ov["scalar"] > 0.5
+    # (nearly) disjoint ladder: scalar approaches 0
     u2, N2, _ = _ho_samples([1.0, 10000.0], 2000, seed=6)
     est2 = MBAREstimator()
     est2.initialize(u2, N2)
-    assert est2.compute_overlap()["scalar"] > 0.9
+    assert est2.compute_overlap()["scalar"] < 0.1
 
 
 def test_mbar_expectation_uncertainty():
