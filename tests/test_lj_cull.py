@@ -412,3 +412,67 @@ def test_segment_final_energy_matches_standalone(sorted_system):
     )
     _, E_ref = md.force_energy(x1, box_diag, pairs, approx_recip=False)
     assert float(jnp.abs(E_seg - E_ref)) <= 1e-6 * abs(float(E_ref))
+
+
+def test_culled_runner_nve_energy_conservation():
+    """gamma=0 turns BAOAB into velocity Verlet: total energy (KE + PE)
+    through the full culled engine -- sort, tile-pair build, fused
+    segment kernel -- must be conserved to <0.5% over 1000 steps.  An
+    independent physics check on the flagship path (the step oracle in
+    test_fused_segment_matches_jnp_step_oracle could share a formulation
+    bug; energy conservation cannot).  The NVE run starts from a
+    thermostatted equilibration (a raw lattice melt under gamma=0 heats
+    until it outruns any slack budget)."""
+    from chiron_tpu import units
+    from chiron_tpu.runtime import make_culled_lj_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    n = 512
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.64)
+    common = dict(
+        potential=fluid.potential,
+        n_particles=n,
+        topology=fluid.topology,
+        temperature=60.0 * units.kelvin,
+        exact_forces=True,
+        tm=8, tn=16, segment_steps=20, slack=0.3,
+    )
+    # the lattice melt is a violent transient -- equilibrate on the
+    # dense engine first (the bench.py pattern), then hand the relaxed
+    # liquid to the culled engine
+    from chiron_tpu.runtime import make_fast_lj_runner
+    eq = make_fast_lj_runner(
+        fluid.potential, n_particles=n, topology=fluid.topology,
+        temperature=60.0 * units.kelvin,
+    )
+    est = eq.init(
+        fluid.positions.value_in_unit_system(units.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=5,
+    )
+    est = eq.run(est, 1000)
+
+    nve = make_culled_lj_runner(
+        collision_rate=0.0 / units.picoseconds, **common
+    )
+    state = nve.init(
+        np.asarray(eq.positions(est)),
+        fluid.box_vectors.value_in_unit_system(units.md_unit_system),
+        seed=6,
+    )
+    m = 39.948
+
+    def total_energy(st):
+        v = nve.velocities(st)
+        ke = 0.5 * m * float(jnp.sum(v * v))
+        return ke + float(nve.energy(st))
+
+    # one short settle segment so E0 is measured on the engine itself
+    state = nve.run(state, 20)
+    e0 = total_energy(state)
+    state = nve.run(state, 1000)
+    nve.check(state)
+    e1 = total_energy(state)
+    # scale by the kinetic energy (E_tot can cross zero)
+    ke_scale = 1.5 * n * 0.00831446 * 60.0
+    assert abs(e1 - e0) / ke_scale < 0.005, (e0, e1)
