@@ -192,6 +192,43 @@ def mbar_overlap(
     }
 
 
+def mbar_bootstrap(
+    u_kn: np.ndarray, N_k: np.ndarray, n_bootstrap: int = 50,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Bootstrap free energies: resample-and-resolve replicates.
+
+    Complements the asymptotic covariance (:func:`mbar_covariance`) the
+    way pymbar 4's ``uncertainty_method="bootstrap"`` does -- the two
+    estimates should agree for well-sampled ladders, and disagreement
+    flags correlated or under-sampled data.  Samples are resampled
+    (with replacement) WITHIN each origin-state block, so the columns of
+    ``u_kn`` must be ordered by origin state -- the first ``N_k[0]``
+    columns drawn from state 0, and so on.  That is exactly the layout
+    ``MBAREstimator.initialize`` produces from the reporter's stacked
+    3D array.  Returns ``(d_f_k, f_replicates)``: the standard deviation
+    of ``f_k`` over replicates (relative to the f_k[0] == 0 gauge each
+    replicate is solved in) and the ``(n_bootstrap, K)`` replicate set.
+    """
+    u_kn = np.asarray(u_kn, dtype=np.float64)
+    N_k = np.asarray(N_k, dtype=np.int64)
+    if int(N_k.sum()) != u_kn.shape[1]:
+        raise ValueError(
+            f"N_k sums to {int(N_k.sum())} but u_kn has {u_kn.shape[1]} "
+            "samples; bootstrap requires the origin-block layout"
+        )
+    rng = np.random.default_rng(seed)
+    starts = np.concatenate([[0], np.cumsum(N_k)])
+    fs = np.empty((n_bootstrap, u_kn.shape[0]), dtype=np.float64)
+    for b in range(n_bootstrap):
+        cols = np.concatenate([
+            starts[k] + rng.integers(0, N_k[k], size=int(N_k[k]))
+            for k in range(len(N_k)) if N_k[k] > 0
+        ])
+        fs[b] = mbar_solve(u_kn[:, cols], N_k)
+    return fs.std(axis=0, ddof=1), fs
+
+
 def mbar_solve_jax(
     u_kn: jnp.ndarray, N_k: jnp.ndarray, n_iterations: int = 500
 ) -> jnp.ndarray:
@@ -298,6 +335,15 @@ class MBAREstimator:
     def compute_overlap(self) -> dict:
         """State-overlap diagnostics (matrix / eigenvalues / scalar)."""
         return mbar_overlap(self._u_kn, self._N_k, self.f_k)
+
+    def bootstrap_d_f_k(
+        self, n_bootstrap: int = 50, seed: int = 0
+    ) -> np.ndarray:
+        """Bootstrap standard error of f_k - f_0 (see mbar_bootstrap)."""
+        d, _ = mbar_bootstrap(
+            self._u_kn, self._N_k, n_bootstrap=n_bootstrap, seed=seed
+        )
+        return d
 
     def compute_expectation(self, A_n: np.ndarray, state_index: int = 0,
                             return_uncertainty: bool = False):

@@ -211,3 +211,34 @@ def test_registry_inconsistent_shapes_returns_none():
         [VecWell([[0.0] * 3]), VecWell([[0.0] * 3, [1.0] * 3])]
     )
     assert bad is None
+
+
+def test_mbar_bootstrap_agrees_with_asymptotic():
+    """Bootstrap d_f_k on an iid HO ladder must agree with the
+    asymptotic (Eq. D6) estimate -- same order, within 2x either way --
+    and the replicate mean must stay consistent with the analytic f."""
+    from chiron_tpu.analysis import mbar_bootstrap
+
+    Ks = [1.0, 2.0, 4.0]
+    u_kn, N_k, f_analytic = _ho_samples(Ks, 2000, seed=9)
+    est = MBAREstimator()
+    est.initialize(u_kn, N_k)
+    d_boot = est.bootstrap_d_f_k(n_bootstrap=40, seed=1)
+    d_asym = est.d_f_k
+    assert d_boot[0] == 0.0  # gauge state
+    for k in range(1, len(Ks)):
+        ratio = d_boot[k] / d_asym[k]
+        assert 0.5 < ratio < 2.0, (k, d_boot[k], d_asym[k])
+    # replicate spread brackets the truth
+    _, fs = mbar_bootstrap(u_kn, N_k, n_bootstrap=40, seed=1)
+    for k in range(1, len(Ks)):
+        err = abs(fs[:, k].mean() - f_analytic[k])
+        assert err < 4.0 * max(d_boot[k], 1e-6), (k, err, d_boot[k])
+
+
+def test_mbar_bootstrap_layout_guard():
+    from chiron_tpu.analysis import mbar_bootstrap
+
+    u_kn, N_k, _ = _ho_samples([1.0, 2.0], 100)
+    with pytest.raises(ValueError, match="origin-block"):
+        mbar_bootstrap(u_kn[:, :-5], N_k)
