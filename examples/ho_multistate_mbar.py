@@ -71,6 +71,16 @@ def main():
     err = np.max(np.abs(sampler.f_k - f_analytic))
     print(f"max |error| = {err:.4f} kT")
     assert err < 0.1, "free energies did not converge to 0.1 kT"
+
+    # uncertainty + diagnostics surface (no pymbar needed): asymptotic
+    # Eq. D6 error bars, bootstrap cross-check, state-overlap scalar
+    est = sampler._offline_estimator
+    d_asym = est.d_f_k
+    d_boot = est.bootstrap_d_f_k(n_bootstrap=30, seed=0)
+    overlap = est.compute_overlap()["scalar"]
+    print("d f_k (asymptotic):", np.round(d_asym, 4))
+    print("d f_k (bootstrap): ", np.round(d_boot, 4))
+    print(f"overlap scalar = {overlap:.3f}  (near 1 = connected ladder)")
     print("MBAR free-energy check: PASS")
 
 
