@@ -20,8 +20,23 @@ from chiron_tpu.runtime import (
     make_lj_runner, make_strip_lj_runner)
 from chiron_tpu.testsystems import LennardJonesFluid
 
+def _culled_tuned(n_particles, **kw):
+    # per-size (segment_steps, slack) optima under the round-4 in-kernel
+    # drift check (jobs j59/j60 at 4k, j69/j71 at 16k/32k): tighter
+    # slack cuts pair slots where the rebuild share matters; at >=32k
+    # the force pass dominates and the configs tie, keep the r3 point
+    if n_particles <= 8192:
+        S, slack = 40, 0.15
+    elif n_particles <= 16384:
+        S, slack = 25, 0.12
+    else:
+        S, slack = 50, 0.2
+    return make_culled_lj_runner(
+        n_particles=n_particles, slack=slack, segment_steps=S, **kw)
+
+
 ENGINES = {
-    "culled": lambda **kw: make_culled_lj_runner(slack=0.2, **kw),
+    "culled": _culled_tuned,
     "band": make_band_lj_runner,
     "strip": make_strip_lj_runner,
 }
