@@ -254,6 +254,76 @@ def mbar_solve_jax(
     return f_k
 
 
+def statistical_inefficiency(A_t: np.ndarray, mintime: int = 3) -> float:
+    """Statistical inefficiency g = 1 + 2 tau of a correlated timeseries.
+
+    The reference inherits this capability from pymbar
+    (``pymbar.timeseries.statistical_inefficiency``; reference
+    chiron/analysis.py:35 pulls in pymbar) -- it is the standard
+    pre-MBAR decorrelation estimate: N_eff = N / g.  Computed from the
+    normalized fluctuation autocorrelation with the Chodera truncation
+    heuristic (stop summing when C(t) first crosses zero after
+    ``mintime``), using one FFT for all lags.
+    """
+    A_t = np.asarray(A_t, dtype=np.float64)
+    T = A_t.size
+    if T < 2:
+        return 1.0
+    dA = A_t - A_t.mean()
+    var = float(np.dot(dA, dA)) / T
+    if var <= 0.0:
+        return 1.0
+    # FFT autocovariance over all lags, unbiased normalization
+    nfft = 1 << (2 * T - 1).bit_length()
+    f = np.fft.rfft(dA, nfft)
+    acov = np.fft.irfft(f * np.conjugate(f), nfft)[:T]
+    acov /= np.arange(T, 0, -1)  # unbiased: divide by (T - t)
+    C_t = acov / var
+    g = 1.0
+    for t in range(1, T - 1):
+        if C_t[t] <= 0.0 and t > mintime:
+            break
+        g += 2.0 * C_t[t] * (1.0 - t / T)
+    return max(1.0, g)
+
+
+def detect_equilibration(A_t: np.ndarray, nskip: int = 1):
+    """Choose the production-region start that maximizes N_eff.
+
+    pymbar's ``detect_equilibration``: for each candidate start t0,
+    compute g of A[t0:] and pick the t0 maximizing
+    (T - t0) / g.  Returns ``(t0, g, N_eff)``.
+    """
+    A_t = np.asarray(A_t, dtype=np.float64)
+    T = A_t.size
+    if T < 3:
+        return 0, 1.0, float(T)
+    best = (0, 1.0, 0.0)
+    for t0 in range(0, T - 2, nskip):
+        g = statistical_inefficiency(A_t[t0:])
+        n_eff = (T - t0) / g
+        if n_eff > best[2]:
+            best = (t0, g, n_eff)
+    return best
+
+
+def subsample_correlated_data(A_t: np.ndarray, g: float = None) -> np.ndarray:
+    """Indices of (approximately) uncorrelated samples, stride ~g apart
+
+    (pymbar's ``subsample_correlated_data``).  Feed the result to
+    :class:`MBAREstimator` so the asymptotic variance's iid assumption
+    holds.
+    """
+    A_t = np.asarray(A_t, dtype=np.float64)
+    T = A_t.size
+    if g is None:
+        g = statistical_inefficiency(A_t)
+    g = max(1.0, float(g))
+    # real-spaced stride (not ceil(g)) keeps ~T/g samples
+    idx = np.unique(np.round(np.arange(0.0, T, g)).astype(np.int64))
+    return idx[idx < T]
+
+
 class MBAREstimator:
     """Reference-parity MBAR front-end (reference analysis.py:4-63)."""
 

@@ -242,3 +242,52 @@ def test_mbar_bootstrap_layout_guard():
     u_kn, N_k, _ = _ho_samples([1.0, 2.0], 100)
     with pytest.raises(ValueError, match="origin-block"):
         mbar_bootstrap(u_kn[:, :-5], N_k)
+
+
+def test_statistical_inefficiency_ar1():
+    """AR(1) with coefficient phi has g = (1+phi)/(1-phi) exactly."""
+    from chiron_tpu.analysis import statistical_inefficiency
+
+    rng = np.random.default_rng(4)
+    for phi, tol in [(0.0, 0.15), (0.6, 0.25), (0.9, 0.35)]:
+        g_true = (1 + phi) / (1 - phi)
+        x = np.empty(200_000)
+        x[0] = rng.normal()
+        eps = rng.normal(size=x.size)
+        for t in range(1, x.size):
+            x[t] = phi * x[t - 1] + eps[t]
+        g = statistical_inefficiency(x)
+        assert abs(g - g_true) / g_true < tol, (phi, g, g_true)
+
+
+def test_detect_equilibration_finds_transient():
+    from chiron_tpu.analysis import detect_equilibration
+
+    rng = np.random.default_rng(5)
+    burn = np.linspace(10.0, 0.0, 500)        # decaying transient
+    prod = rng.normal(0.0, 1.0, 4000)          # equilibrated region
+    t0, g, n_eff = detect_equilibration(np.concatenate([burn, prod]),
+                                        nskip=10)
+    assert 300 <= t0 <= 700, t0
+    assert n_eff > 2000
+
+
+def test_subsample_correlated_data_decorrelates():
+    from chiron_tpu.analysis import (
+        statistical_inefficiency, subsample_correlated_data,
+    )
+
+    rng = np.random.default_rng(6)
+    phi = 0.8
+    x = np.empty(100_000)
+    x[0] = rng.normal()
+    eps = rng.normal(size=x.size)
+    for t in range(1, x.size):
+        x[t] = phi * x[t - 1] + eps[t]
+    idx = subsample_correlated_data(x)
+    # stride ~g keeps ~N/g samples, and the subsampled series is
+    # (nearly) uncorrelated
+    g_full = statistical_inefficiency(x)
+    assert abs(len(idx) - x.size / g_full) / (x.size / g_full) < 0.1
+    g_sub = statistical_inefficiency(x[idx])
+    assert g_sub < 1.6, g_sub
