@@ -254,6 +254,48 @@ def mbar_solve_jax(
     return f_k
 
 
+def exp_free_energy(w: np.ndarray) -> Tuple[float, float]:
+    """One-sided exponential averaging (Zwanzig): Delta f and its SE.
+
+    Delta f = -ln < exp(-w) > over forward work values w (reduced
+    units).  The pymbar capability (``pymbar.other_estimators.exp``) the
+    reference inherits.  Biased when the work distribution's tail is
+    under-sampled -- prefer :func:`bar` or MBAR when both directions are
+    available.
+    """
+    w = np.asarray(w, dtype=np.float64)
+    n = w.size
+    mx = np.max(-w)
+    ew = np.exp(-w - mx)
+    mean = ew.mean()
+    df = -(mx + np.log(mean))
+    se = ew.std(ddof=1) / (mean * np.sqrt(n))  # delta method on ln
+    return float(df), float(se)
+
+
+def bar(w_F: np.ndarray, w_R: np.ndarray) -> Tuple[float, float]:
+    """Bennett acceptance ratio: Delta f (0 -> 1) and its SE.
+
+    ``w_F`` are forward reduced work values u_1 - u_0 on samples from
+    state 0; ``w_R`` reverse work u_0 - u_1 on samples from state 1.
+    Implemented exactly as two-state MBAR (BAR is MBAR's K=2 special
+    case), reusing the solver and the Eq. D6 asymptotic covariance --
+    so the estimate is the optimal (minimum-variance) two-state one
+    (pymbar ``other_estimators.bar`` capability).
+    """
+    w_F = np.asarray(w_F, dtype=np.float64)
+    w_R = np.asarray(w_R, dtype=np.float64)
+    u_kn = np.block([
+        [np.zeros_like(w_F), w_R],
+        [w_F, np.zeros_like(w_R)],
+    ])
+    N_k = np.array([w_F.size, w_R.size])
+    f_k = mbar_solve(u_kn, N_k)
+    th = mbar_covariance(u_kn, N_k, f_k)
+    var = max(th[0, 0] + th[1, 1] - 2.0 * th[0, 1], 0.0)
+    return float(f_k[1]), float(np.sqrt(var))
+
+
 def statistical_inefficiency(A_t: np.ndarray, mintime: int = 3) -> float:
     """Statistical inefficiency g = 1 + 2 tau of a correlated timeseries.
 

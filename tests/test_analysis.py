@@ -291,3 +291,42 @@ def test_subsample_correlated_data_decorrelates():
     assert abs(len(idx) - x.size / g_full) / (x.size / g_full) < 0.1
     g_sub = statistical_inefficiency(x[idx])
     assert g_sub < 1.6, g_sub
+
+
+def test_bar_and_exp_recover_analytic_ho():
+    """BAR and EXP on a 2-state HO pair: w_F = (K1-K0)/2 x^2 on state-0
+    samples, w_R = (K0-K1)/2 x^2 on state-1 samples; analytic
+    Delta f = -0.5 ln(K0/K1)."""
+    from chiron_tpu.analysis import bar, exp_free_energy
+
+    rng = np.random.default_rng(12)
+    K0, K1, n = 1.0, 2.5, 6000
+    x0 = rng.normal(0, 1 / np.sqrt(K0), n)
+    x1 = rng.normal(0, 1 / np.sqrt(K1), n)
+    w_F = 0.5 * (K1 - K0) * x0 ** 2
+    w_R = 0.5 * (K0 - K1) * x1 ** 2
+    f_true = -0.5 * np.log(2 * np.pi / K1) + 0.5 * np.log(2 * np.pi / K0)
+
+    df_bar, ddf_bar = bar(w_F, w_R)
+    assert 0.0 < ddf_bar < 0.1
+    assert abs(df_bar - f_true) < 3.5 * ddf_bar, (df_bar, f_true, ddf_bar)
+
+    df_exp, ddf_exp = exp_free_energy(w_F)
+    assert abs(df_exp - f_true) < 0.1, (df_exp, f_true)
+    # BAR (two-sided, optimal) must not be worse than one-sided EXP
+    assert ddf_bar <= 2.0 * ddf_exp
+
+
+def test_bar_agrees_with_mbar_two_state():
+    """BAR IS MBAR at K=2 -- same point estimate."""
+    from chiron_tpu.analysis import bar
+
+    rng = np.random.default_rng(13)
+    K0, K1, n = 1.0, 4.0, 3000
+    x0 = rng.normal(0, 1 / np.sqrt(K0), n)
+    x1 = rng.normal(0, 1 / np.sqrt(K1), n)
+    x_n = np.concatenate([x0, x1])
+    u_kn = np.stack([0.5 * K0 * x_n ** 2, 0.5 * K1 * x_n ** 2])
+    f_k = mbar_solve(u_kn, np.array([n, n]))
+    df_bar, _ = bar(0.5 * (K1 - K0) * x0 ** 2, 0.5 * (K0 - K1) * x1 ** 2)
+    assert df_bar == pytest.approx(f_k[1], abs=1e-8)
