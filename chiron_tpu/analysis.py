@@ -53,6 +53,7 @@ def mbar_solve(
     tol: float = 1.0e-10,
     max_sc_iterations: int = 2000,
     max_newton_iterations: int = 50,
+    f_init: np.ndarray = None,
 ) -> np.ndarray:
     """Solve the MBAR equations for dimensionless free energies f_k.
 
@@ -62,6 +63,10 @@ def mbar_solve(
         Reduced potential of every sample n evaluated at every state k.
     N_k : (K,) array
         Number of samples drawn from each state; sum(N_k) == N.
+    f_init : optional (K,) array
+        Warm start (e.g. the full-data solution when solving bootstrap
+        replicates); the self-consistent stage then converges in a few
+        iterations instead of hundreds.
 
     Returns
     -------
@@ -85,7 +90,11 @@ def mbar_solve(
         )
 
     log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
-    f_k = np.zeros(K)
+    if f_init is not None:
+        f_k = np.asarray(f_init, dtype=np.float64).copy()
+        f_k -= f_k[0]
+    else:
+        f_k = np.zeros(K)
 
     def log_denominator(f):
         # ln sum_j N_j exp(f_j - u_jn), shape (N,)
@@ -194,21 +203,36 @@ def mbar_overlap(
 
 def mbar_bootstrap(
     u_kn: np.ndarray, N_k: np.ndarray, n_bootstrap: int = 50,
-    seed: int = 0,
+    seed: int = 0, iteration_layout: Tuple[int, int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Bootstrap free energies: resample-and-resolve replicates.
 
     Complements the asymptotic covariance (:func:`mbar_covariance`) the
     way pymbar 4's ``uncertainty_method="bootstrap"`` does -- the two
     estimates should agree for well-sampled ladders, and disagreement
-    flags correlated or under-sampled data.  Samples are resampled
-    (with replacement) WITHIN each origin-state block, so the columns of
-    ``u_kn`` must be ordered by origin state -- the first ``N_k[0]``
-    columns drawn from state 0, and so on.  That is exactly the layout
-    ``MBAREstimator.initialize`` produces from the reporter's stacked
-    3D array.  Returns ``(d_f_k, f_replicates)``: the standard deviation
-    of ``f_k`` over replicates (relative to the f_k[0] == 0 gauge each
+    flags correlated or under-sampled data.
+
+    Two resampling schemes:
+
+    * default (independent per-state sampling): samples are resampled
+      with replacement WITHIN each origin-state block, so the columns
+      of ``u_kn`` must be ordered by the state that GENERATED them --
+      the first ``N_k[0]`` columns drawn from state 0, and so on.
+    * ``iteration_layout=(T, R)`` (replica-exchange data): columns are
+      ordered by replica, n = r*T + t (the layout
+      ``MBAREstimator.initialize`` produces from the reporter's stacked
+      3D array), and a replica's block mixes every state it visited
+      through swaps -- per-block resampling would break the N_k
+      composition.  Instead, ITERATIONS are resampled: replicate b
+      draws T iteration indices with replacement and takes all R
+      replicas' samples at those iterations.  Each iteration carries
+      exactly one sample per state regardless of the swap permutation,
+      so N_k is preserved exactly.
+
+    Returns ``(d_f_k, f_replicates)``: the standard deviation of
+    ``f_k`` over replicates (relative to the f_k[0] == 0 gauge each
     replicate is solved in) and the ``(n_bootstrap, K)`` replicate set.
+    Replicate solves warm-start from the full-data solution.
     """
     u_kn = np.asarray(u_kn, dtype=np.float64)
     N_k = np.asarray(N_k, dtype=np.int64)
@@ -218,14 +242,28 @@ def mbar_bootstrap(
             "samples; bootstrap requires the origin-block layout"
         )
     rng = np.random.default_rng(seed)
-    starts = np.concatenate([[0], np.cumsum(N_k)])
+    f_full = mbar_solve(u_kn, N_k)
     fs = np.empty((n_bootstrap, u_kn.shape[0]), dtype=np.float64)
-    for b in range(n_bootstrap):
-        cols = np.concatenate([
-            starts[k] + rng.integers(0, N_k[k], size=int(N_k[k]))
-            for k in range(len(N_k)) if N_k[k] > 0
-        ])
-        fs[b] = mbar_solve(u_kn[:, cols], N_k)
+    if iteration_layout is not None:
+        T, R = iteration_layout
+        if T * R != u_kn.shape[1]:
+            raise ValueError(
+                f"iteration_layout {iteration_layout} does not tile "
+                f"{u_kn.shape[1]} samples"
+            )
+        base = np.arange(R, dtype=np.int64)[:, None] * T  # (R, 1)
+        for b in range(n_bootstrap):
+            t_idx = rng.integers(0, T, size=T)            # (T,)
+            cols = (base + t_idx[None, :]).ravel()
+            fs[b] = mbar_solve(u_kn[:, cols], N_k, f_init=f_full)
+    else:
+        starts = np.concatenate([[0], np.cumsum(N_k)])
+        for b in range(n_bootstrap):
+            cols = np.concatenate([
+                starts[k] + rng.integers(0, N_k[k], size=int(N_k[k]))
+                for k in range(len(N_k)) if N_k[k] > 0
+            ])
+            fs[b] = mbar_solve(u_kn[:, cols], N_k, f_init=f_full)
     return fs.std(axis=0, ddof=1), fs
 
 
@@ -265,6 +303,11 @@ def exp_free_energy(w: np.ndarray) -> Tuple[float, float]:
     """
     w = np.asarray(w, dtype=np.float64)
     n = w.size
+    if n < 2:
+        raise ValueError(
+            "exp_free_energy needs at least 2 work values "
+            f"(got {n}); the SE of one sample is undefined"
+        )
     mx = np.max(-w)
     ew = np.exp(-w - mx)
     mean = ew.mean()
@@ -329,17 +372,24 @@ def statistical_inefficiency(A_t: np.ndarray, mintime: int = 3) -> float:
     return max(1.0, g)
 
 
-def detect_equilibration(A_t: np.ndarray, nskip: int = 1):
+def detect_equilibration(A_t: np.ndarray, nskip: int = None):
     """Choose the production-region start that maximizes N_eff.
 
     pymbar's ``detect_equilibration``: for each candidate start t0,
     compute g of A[t0:] and pick the t0 maximizing
     (T - t0) / g.  Returns ``(t0, g, N_eff)``.
+
+    ``nskip`` spaces the candidate starts; the default ``max(1, T//100)``
+    keeps the scan O(100) inefficiency evaluations (each O(T log T)),
+    so long reporter series stay seconds-scale.  Pass ``nskip=1`` for
+    the exhaustive pymbar behavior.
     """
     A_t = np.asarray(A_t, dtype=np.float64)
     T = A_t.size
     if T < 3:
         return 0, 1.0, float(T)
+    if nskip is None:
+        nskip = max(1, T // 100)
     best = (0, 1.0, 0.0)
     for t0 in range(0, T - 2, nskip):
         g = statistical_inefficiency(A_t[t0:])
@@ -374,6 +424,7 @@ class MBAREstimator:
         self._u_kn: Optional[np.ndarray] = None
         self._N_k: Optional[np.ndarray] = None
         self._theta: Optional[np.ndarray] = None
+        self._iteration_layout: Optional[Tuple[int, int]] = None
 
     def initialize(self, u_kn: np.ndarray, N_k) -> None:
         """Solve MBAR for the given reduced-potential samples.
@@ -384,10 +435,15 @@ class MBAREstimator:
         """
         u_kn = np.asarray(u_kn, dtype=np.float64)
         N_k = np.asarray(N_k, dtype=np.int64)
+        self._iteration_layout = None
         if u_kn.ndim == 3:
             t, s, r = u_kn.shape
             # (T, S, R) -> (S, R, T) -> (S, R*T)
             u_kn = np.transpose(u_kn, (1, 2, 0)).reshape(s, r * t)
+            # columns ordered by REPLICA (n = r*T + t): remember the
+            # (T, R) tiling so bootstrap resamples iterations, not
+            # replica blocks (a replica visits many states under swaps)
+            self._iteration_layout = (t, r)
         if u_kn.ndim != 2:
             raise ValueError(f"u_kn must be 2D or 3D, got shape {u_kn.shape}")
         self._u_kn = u_kn
@@ -451,9 +507,16 @@ class MBAREstimator:
     def bootstrap_d_f_k(
         self, n_bootstrap: int = 50, seed: int = 0
     ) -> np.ndarray:
-        """Bootstrap standard error of f_k - f_0 (see mbar_bootstrap)."""
+        """Bootstrap standard error of f_k - f_0 (see mbar_bootstrap).
+
+        When this estimator was initialized from the reporter's 3D
+        (iterations, states, replicas) array, replicates resample
+        ITERATIONS (correct under replica exchange); otherwise they
+        resample within origin-state blocks.
+        """
         d, _ = mbar_bootstrap(
-            self._u_kn, self._N_k, n_bootstrap=n_bootstrap, seed=seed
+            self._u_kn, self._N_k, n_bootstrap=n_bootstrap, seed=seed,
+            iteration_layout=getattr(self, "_iteration_layout", None),
         )
         return d
 

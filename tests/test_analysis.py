@@ -330,3 +330,54 @@ def test_bar_agrees_with_mbar_two_state():
     f_k = mbar_solve(u_kn, np.array([n, n]))
     df_bar, _ = bar(0.5 * (K1 - K0) * x0 ** 2, 0.5 * (K0 - K1) * x1 ** 2)
     assert df_bar == pytest.approx(f_k[1], abs=1e-8)
+
+
+def test_mbar_bootstrap_iteration_resampling_replica_exchange():
+    """Replica-ordered columns with mid-run swaps: per-block resampling
+    would mix states inside a block; iteration resampling preserves the
+    one-sample-per-state-per-iteration structure exactly and the error
+    bar stays consistent with the asymptotic one."""
+    from chiron_tpu.analysis import mbar_bootstrap
+
+    rng = np.random.default_rng(21)
+    Ks = [1.0, 3.0]
+    T = 2000
+    # replica 0 samples state 0 for the first half then state 1 (swap);
+    # replica 1 the mirror -- every iteration has one sample per state
+    half = T // 2
+    s_of = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 0}  # (replica, half)
+    x = np.empty((2, T))
+    for r in range(2):
+        for h in range(2):
+            K = Ks[s_of[(r, h)]]
+            x[r, h * half:(h + 1) * half] = rng.normal(
+                0, 1 / np.sqrt(K), half
+            )
+    # reporter layout: (T, S, R) -> initialize flattens to n = r*T + t
+    u_3d = np.empty((T, 2, 2))
+    for k, K in enumerate(Ks):
+        u_3d[:, k, :] = 0.5 * K * (x.T ** 2)
+    est = MBAREstimator()
+    est.initialize(u_3d, np.array([T, T]))
+    assert est._iteration_layout == (T, 2)
+    f_true = -0.5 * np.log(2 * np.pi / np.asarray(Ks))
+    f_true -= f_true[0]
+    assert abs(est.f_k[1] - f_true[1]) < 0.1
+    d_boot = est.bootstrap_d_f_k(n_bootstrap=40, seed=2)
+    d_asym = est.d_f_k
+    assert d_boot[0] == 0.0
+    assert 0.4 < d_boot[1] / d_asym[1] < 2.5, (d_boot[1], d_asym[1])
+    # truth bracketed by the bootstrap error bar
+    assert abs(est.f_k[1] - f_true[1]) < 4.0 * d_boot[1]
+    # bad tiling is rejected
+    with pytest.raises(ValueError, match="does not tile"):
+        mbar_bootstrap(est._u_kn, est._N_k, iteration_layout=(T, 3))
+
+
+def test_exp_free_energy_small_n_guard():
+    from chiron_tpu.analysis import exp_free_energy
+
+    with pytest.raises(ValueError, match="at least 2"):
+        exp_free_energy(np.array([1.0]))
+    with pytest.raises(ValueError, match="at least 2"):
+        exp_free_energy(np.array([]))
