@@ -10,7 +10,13 @@ acceptance ratio estimator (Shirts & Chodera, J. Chem. Phys. 129, 124105,
   section 5), with a Newton-Raphson polish for quadratic convergence,
 * weights are exposed for computing observable expectations,
 * a jittable float32 JAX path (`mbar_solve_jax`) is provided for on-device /
-  differentiable use inside adaptive-sampling loops.
+  differentiable use inside adaptive-sampling loops,
+* the uncertainty/diagnostic surface pymbar users rely on is standalone
+  too: asymptotic covariance (Eq. D6), bootstrap (with iteration
+  resampling under replica exchange), state-overlap diagnostics, BAR /
+  EXP two-state estimators, and the timeseries tools
+  (statistical_inefficiency / detect_equilibration /
+  subsample_correlated_data).
 
 API parity: ``MBAREstimator.initialize(u_kn, N_k)``, ``.f_k``,
 ``.get_free_energy_difference()`` (reference analysis.py:4-63; note the
