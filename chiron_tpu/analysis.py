@@ -510,6 +510,23 @@ class MBAREstimator:
         """State-overlap diagnostics (matrix / eigenvalues / scalar)."""
         return mbar_overlap(self._u_kn, self._N_k, self.f_k)
 
+    def compute_entropy_and_enthalpy(self):
+        """Decompose f_k into reduced enthalpy and entropy per state.
+
+        Returns ``(f_k, u_k, s_k)`` with ``u_k = <u_k>_k`` (the average
+        reduced potential of state k under its own distribution, via the
+        MBAR weights) and ``s_k = u_k - f_k`` (dimensionless entropy up
+        to a k-independent constant), so ``f = u - s`` exactly.  pymbar
+        exposes the same decomposition through
+        ``compute_entropy_and_enthalpy``; for a harmonic oscillator at
+        beta=1 the reduced enthalpy is exactly 1/2 per quadratic degree
+        of freedom (equipartition) -- the test anchor.
+        """
+        W = mbar_weights(self._u_kn, self._N_k, self.f_k)  # (K, N)
+        u_k = np.einsum("kn,kn->k", W, self._u_kn)
+        s_k = u_k - self.f_k
+        return self.f_k.copy(), u_k, s_k
+
     def bootstrap_d_f_k(
         self, n_bootstrap: int = 50, seed: int = 0
     ) -> np.ndarray:

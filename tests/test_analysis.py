@@ -381,3 +381,18 @@ def test_exp_free_energy_small_n_guard():
         exp_free_energy(np.array([1.0]))
     with pytest.raises(ValueError, match="at least 2"):
         exp_free_energy(np.array([]))
+
+
+def test_entropy_enthalpy_decomposition_ho():
+    """1D HO at beta=1: <u>_k = 1/2 exactly (equipartition), and
+    f = u - s must close identically."""
+    Ks = [1.0, 2.0, 4.0]
+    u_kn, N_k, f_analytic = _ho_samples(Ks, 6000, seed=30)
+    est = MBAREstimator()
+    est.initialize(u_kn, N_k)
+    f_k, u_k, s_k = est.compute_entropy_and_enthalpy()
+    assert np.allclose(u_k, 0.5, atol=0.03), u_k
+    assert np.allclose(f_k, u_k - s_k, atol=1e-12)
+    # entropy difference: s_k - s_0 = (u_k - u_0) - (f_k - f_0) =
+    # -f_analytic since the enthalpies are all 1/2
+    assert np.allclose(s_k - s_k[0], -f_analytic, atol=0.08)
