@@ -210,6 +210,7 @@ def mbar_overlap(
 def mbar_bootstrap(
     u_kn: np.ndarray, N_k: np.ndarray, n_bootstrap: int = 50,
     seed: int = 0, iteration_layout: Tuple[int, int] = None,
+    iteration_major: bool = False, f_init: np.ndarray = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Bootstrap free energies: resample-and-resolve replicates.
 
@@ -227,29 +228,34 @@ def mbar_bootstrap(
     * ``iteration_layout=(T, R)`` (replica-exchange data): columns are
       ordered by replica, n = r*T + t (the layout
       ``MBAREstimator.initialize`` produces from the reporter's stacked
-      3D array), and a replica's block mixes every state it visited
-      through swaps -- per-block resampling would break the N_k
-      composition.  Instead, ITERATIONS are resampled: replicate b
-      draws T iteration indices with replacement and takes all R
-      replicas' samples at those iterations.  Each iteration carries
-      exactly one sample per state regardless of the swap permutation,
-      so N_k is preserved exactly.
+      3D array) -- or, with ``iteration_major=True``, by iteration,
+      n = t*R + r (the layout ``ParallelTemperingSampler`` builds) --
+      and a replica's block mixes every state it visited through swaps,
+      so per-block resampling would break the N_k composition.
+      Instead, ITERATIONS are resampled: replicate b draws T iteration
+      indices with replacement and takes all R replicas' samples at
+      those iterations.  Each iteration carries exactly one sample per
+      state regardless of the swap permutation, so N_k is preserved
+      exactly.
 
     Returns ``(d_f_k, f_replicates)``: the standard deviation of
     ``f_k`` over replicates (relative to the f_k[0] == 0 gauge each
     replicate is solved in) and the ``(n_bootstrap, K)`` replicate set.
-    Replicate solves warm-start from the full-data solution.
+    Replicate solves warm-start from ``f_init`` (the full-data solution,
+    computed here when the caller does not already hold it).
     """
     u_kn = np.asarray(u_kn, dtype=np.float64)
     N_k = np.asarray(N_k, dtype=np.int64)
     if int(N_k.sum()) != u_kn.shape[1]:
+        layout_hint = (
+            "the (T, R) iteration tiling must cover every sample"
+            if iteration_layout is not None
+            else "bootstrap requires the origin-block layout"
+        )
         raise ValueError(
             f"N_k sums to {int(N_k.sum())} but u_kn has {u_kn.shape[1]} "
-            "samples; bootstrap requires the origin-block layout"
+            f"samples; {layout_hint}"
         )
-    rng = np.random.default_rng(seed)
-    f_full = mbar_solve(u_kn, N_k)
-    fs = np.empty((n_bootstrap, u_kn.shape[0]), dtype=np.float64)
     if iteration_layout is not None:
         T, R = iteration_layout
         if T * R != u_kn.shape[1]:
@@ -257,11 +263,22 @@ def mbar_bootstrap(
                 f"iteration_layout {iteration_layout} does not tile "
                 f"{u_kn.shape[1]} samples"
             )
-        base = np.arange(R, dtype=np.int64)[:, None] * T  # (R, 1)
-        for b in range(n_bootstrap):
-            t_idx = rng.integers(0, T, size=T)            # (T,)
-            cols = (base + t_idx[None, :]).ravel()
-            fs[b] = mbar_solve(u_kn[:, cols], N_k, f_init=f_full)
+    rng = np.random.default_rng(seed)
+    f_full = mbar_solve(u_kn, N_k) if f_init is None else np.asarray(f_init)
+    fs = np.empty((n_bootstrap, u_kn.shape[0]), dtype=np.float64)
+    if iteration_layout is not None:
+        if iteration_major:
+            base = np.arange(R, dtype=np.int64)[None, :]  # (1, R)
+            for b in range(n_bootstrap):
+                t_idx = rng.integers(0, T, size=T)        # (T,)
+                cols = (t_idx[:, None] * R + base).ravel()
+                fs[b] = mbar_solve(u_kn[:, cols], N_k, f_init=f_full)
+        else:
+            base = np.arange(R, dtype=np.int64)[:, None] * T  # (R, 1)
+            for b in range(n_bootstrap):
+                t_idx = rng.integers(0, T, size=T)            # (T,)
+                cols = (base + t_idx[None, :]).ravel()
+                fs[b] = mbar_solve(u_kn[:, cols], N_k, f_init=f_full)
     else:
         starts = np.concatenate([[0], np.cumsum(N_k)])
         for b in range(n_bootstrap):
@@ -385,17 +402,19 @@ def detect_equilibration(A_t: np.ndarray, nskip: int = None):
     compute g of A[t0:] and pick the t0 maximizing
     (T - t0) / g.  Returns ``(t0, g, N_eff)``.
 
-    ``nskip`` spaces the candidate starts; the default ``max(1, T//100)``
-    keeps the scan O(100) inefficiency evaluations (each O(T log T)),
-    so long reporter series stay seconds-scale.  Pass ``nskip=1`` for
-    the exhaustive pymbar behavior.
+    ``nskip`` spaces the candidate starts; the default 1 is pymbar's
+    exhaustive scan (every t0 considered), so default-argument results
+    match ``pymbar.timeseries.detect_equilibration``.  Each candidate
+    costs an O(T log T) inefficiency evaluation, so for long reporter
+    series pass e.g. ``nskip=max(1, T//100)`` to keep the scan
+    seconds-scale at a t0 resolution of T/100.
     """
     A_t = np.asarray(A_t, dtype=np.float64)
     T = A_t.size
     if T < 3:
         return 0, 1.0, float(T)
     if nskip is None:
-        nskip = max(1, T // 100)
+        nskip = 1
     best = (0, 1.0, 0.0)
     for t0 in range(0, T - 2, nskip):
         g = statistical_inefficiency(A_t[t0:])
@@ -431,17 +450,29 @@ class MBAREstimator:
         self._N_k: Optional[np.ndarray] = None
         self._theta: Optional[np.ndarray] = None
         self._iteration_layout: Optional[Tuple[int, int]] = None
+        self._iteration_major: bool = False
 
-    def initialize(self, u_kn: np.ndarray, N_k) -> None:
+    def initialize(
+        self, u_kn: np.ndarray, N_k,
+        iteration_layout: Optional[Tuple[int, int]] = None,
+        iteration_major: bool = False,
+    ) -> None:
         """Solve MBAR for the given reduced-potential samples.
 
         Accepts either a 2D ``(K, N)`` matrix, or the reporter's stacked 3D
         ``(n_iterations, n_states, n_replicas)`` layout, which is flattened
         so sample n = (replica, iteration) (reference analysis.py:31-35).
+
+        For 2D replica-exchange data, pass ``iteration_layout=(T, R)``
+        (with ``iteration_major=True`` when columns are ordered
+        n = t*R + r rather than n = r*T + t) so ``bootstrap_d_f_k``
+        resamples iterations instead of origin blocks -- swap-mixed
+        columns are not origin-ordered (see :func:`mbar_bootstrap`).
         """
         u_kn = np.asarray(u_kn, dtype=np.float64)
         N_k = np.asarray(N_k, dtype=np.int64)
-        self._iteration_layout = None
+        self._iteration_layout = iteration_layout
+        self._iteration_major = iteration_major
         if u_kn.ndim == 3:
             t, s, r = u_kn.shape
             # (T, S, R) -> (S, R, T) -> (S, R*T)
@@ -450,6 +481,7 @@ class MBAREstimator:
             # (T, R) tiling so bootstrap resamples iterations, not
             # replica blocks (a replica visits many states under swaps)
             self._iteration_layout = (t, r)
+            self._iteration_major = False
         if u_kn.ndim != 2:
             raise ValueError(f"u_kn must be 2D or 3D, got shape {u_kn.shape}")
         self._u_kn = u_kn
@@ -533,13 +565,17 @@ class MBAREstimator:
         """Bootstrap standard error of f_k - f_0 (see mbar_bootstrap).
 
         When this estimator was initialized from the reporter's 3D
-        (iterations, states, replicas) array, replicates resample
-        ITERATIONS (correct under replica exchange); otherwise they
-        resample within origin-state blocks.
+        (iterations, states, replicas) array -- or with an explicit
+        ``iteration_layout`` -- replicates resample ITERATIONS (correct
+        under replica exchange); otherwise they resample within
+        origin-state blocks.  Replicate solves warm-start from the
+        already-converged full-data ``f_k``.
         """
         d, _ = mbar_bootstrap(
             self._u_kn, self._N_k, n_bootstrap=n_bootstrap, seed=seed,
             iteration_layout=getattr(self, "_iteration_layout", None),
+            iteration_major=getattr(self, "_iteration_major", False),
+            f_init=self.f_k_,
         )
         return d
 

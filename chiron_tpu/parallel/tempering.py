@@ -616,7 +616,14 @@ class ParallelTemperingSampler:
         u_kn = betas_ladder[:, None] * Us[None, :]
         n_samples_per_temp = len(self._u_history[start:])
         N_k = np.full(self.n_replicas, n_samples_per_temp)
-        self._estimator.initialize(u_kn, N_k)
+        # columns are iteration-major (n = t*R + r) and swap-mixed: tell
+        # the estimator so bootstrap resamples iterations, not origin
+        # blocks (which these columns are not)
+        self._estimator.initialize(
+            u_kn, N_k,
+            iteration_layout=(n_samples_per_temp, self.n_replicas),
+            iteration_major=True,
+        )
         return self._estimator.f_k
 
     @property

@@ -372,6 +372,35 @@ def test_mbar_bootstrap_iteration_resampling_replica_exchange():
     # bad tiling is rejected
     with pytest.raises(ValueError, match="does not tile"):
         mbar_bootstrap(est._u_kn, est._N_k, iteration_layout=(T, 3))
+    # iteration-MAJOR ordering (n = t*R + r, the ParallelTempering
+    # layout) of the same data gives the same error bar: the two
+    # orderings are column permutations of each other and iteration
+    # resampling picks the same per-iteration column groups
+    R = 2
+    perm = np.arange(T * R).reshape(R, T).T.ravel()  # r*T+t -> t*R+r
+    d_major, _ = mbar_bootstrap(
+        est._u_kn[:, perm], est._N_k, n_bootstrap=40, seed=2,
+        iteration_layout=(T, R), iteration_major=True,
+    )
+    np.testing.assert_allclose(d_major, d_boot, rtol=1e-12)
+
+
+def test_pt_estimator_bootstrap_uses_iteration_resampling():
+    """ParallelTemperingSampler.compute_free_energies builds swap-mixed
+    iteration-major columns; its estimator must carry the (T, R) layout
+    so bootstrap_d_f_k resamples iterations, never origin blocks."""
+    from chiron_tpu.analysis import MBAREstimator
+
+    est = MBAREstimator()
+    T, R = 500, 3
+    rng = np.random.default_rng(5)
+    u_kn = rng.normal(size=(R, T * R))
+    est.initialize(u_kn, np.full(R, T),
+                   iteration_layout=(T, R), iteration_major=True)
+    assert est._iteration_layout == (T, R)
+    assert est._iteration_major is True
+    d = est.bootstrap_d_f_k(n_bootstrap=5, seed=0)
+    assert d.shape == (R,) and d[0] == 0.0 and np.all(np.isfinite(d))
 
 
 def test_exp_free_energy_small_n_guard():
