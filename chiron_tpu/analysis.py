@@ -14,7 +14,9 @@ acceptance ratio estimator (Shirts & Chodera, J. Chem. Phys. 129, 124105,
 * the uncertainty/diagnostic surface pymbar users rely on is standalone
   too: asymptotic covariance (Eq. D6), bootstrap (with iteration
   resampling under replica exchange), state-overlap diagnostics, BAR /
-  EXP two-state estimators, and the timeseries tools
+  EXP two-state estimators, perturbed (unsampled-state) free energies
+  with augmented-covariance errors, entropy/enthalpy decomposition,
+  per-state expectations with SEs, and the timeseries tools
   (statistical_inefficiency / detect_equilibration /
   subsample_correlated_data).
 
@@ -179,6 +181,49 @@ def mbar_covariance(
     Sig = np.diag(S)
     inner = np.eye(K) - Sig @ (V.T * N_k) @ V @ Sig
     return V @ Sig @ np.linalg.pinv(inner, rcond=1e-10) @ Sig @ V.T
+
+
+def mbar_perturbed_free_energies(
+    u_kn: np.ndarray, N_k: np.ndarray, f_k: np.ndarray, u_ln: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Free energies of UNSAMPLED (perturbed) states from existing samples.
+
+    The core MBAR reweighting identity: for any target state l with
+    reduced potentials ``u_ln`` evaluated on the pooled samples,
+
+        f_l = -ln sum_n exp(-u_ln) / sum_k N_k exp(f_k - u_kn)
+
+    (pymbar's ``compute_perturbed_free_energies``; the reference
+    inherits it via chiron/analysis.py:35).  Uncertainties come from the
+    Eq. D6 covariance of the AUGMENTED system: the L target states are
+    appended as zero-count states, which leaves the sampled-state
+    solution unchanged but lets the same SVD machinery price the
+    perturbed estimates.  Returns ``(f_l, d_f_l)`` with f in the
+    f_k[0] == 0 gauge of the input and d_f_l the standard error of
+    f_l - f_0.
+    """
+    u_kn = np.asarray(u_kn, dtype=np.float64)
+    u_ln = np.asarray(u_ln, dtype=np.float64)
+    if u_ln.ndim == 1:
+        u_ln = u_ln[None, :]
+    if u_ln.shape[1] != u_kn.shape[1]:
+        raise ValueError(
+            f"u_ln has {u_ln.shape[1]} samples but u_kn has "
+            f"{u_kn.shape[1]}; both must cover the pooled samples"
+        )
+    N_k = np.asarray(N_k, dtype=np.float64)
+    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
+    log_denom = _logsumexp((f_k + log_N_k)[:, None] - u_kn, axis=0)
+    f_l = -_logsumexp(-u_ln - log_denom[None, :], axis=1)
+    K, L = u_kn.shape[0], u_ln.shape[0]
+    u_aug = np.vstack([u_kn, u_ln])
+    N_aug = np.concatenate([N_k, np.zeros(L)])
+    f_aug = np.concatenate([np.asarray(f_k, dtype=np.float64), f_l])
+    th = mbar_covariance(u_aug, N_aug, f_aug)
+    var = np.maximum(
+        th.diagonal()[K:] + th[0, 0] - 2.0 * th[0, K:], 0.0
+    )
+    return f_l, np.sqrt(var)
 
 
 def mbar_overlap(
@@ -598,3 +643,32 @@ class MBAREstimator:
         ess = 1.0 / np.sum(w * w)
         var = float(np.dot(w, (A_n - mean) ** 2))
         return mean, float(np.sqrt(var / max(ess, 1.0)))
+
+    def compute_perturbed_free_energies(self, u_ln: np.ndarray):
+        """``(f_l, d_f_l)`` of unsampled target states (see
+        :func:`mbar_perturbed_free_energies`).  ``u_ln`` is ``(L, N)``
+        (or ``(N,)`` for one state): the target states' reduced
+        potentials on the pooled samples."""
+        return mbar_perturbed_free_energies(
+            self._u_kn, self._N_k, self.f_k, u_ln
+        )
+
+    def compute_expectations(
+        self, A_n: np.ndarray, return_uncertainty: bool = False
+    ):
+        """<A> at EVERY state k (pymbar ``compute_expectations`` shape).
+
+        Vectorized over states: one weight matrix, one einsum.  With
+        ``return_uncertainty`` also returns the per-state importance-
+        sampling standard errors (same Kish-ESS estimate as
+        :meth:`compute_expectation`).  Returns ``(K,)`` arrays.
+        """
+        W = mbar_weights(self._u_kn, self._N_k, self.f_k_)  # (K, N)
+        W = W / W.sum(axis=1, keepdims=True)
+        A_n = np.asarray(A_n, dtype=np.float64)
+        means = W @ A_n                                      # (K,)
+        if not return_uncertainty:
+            return means
+        ess = 1.0 / np.sum(W * W, axis=1)
+        var = np.einsum("kn,kn->k", W, (A_n[None, :] - means[:, None]) ** 2)
+        return means, np.sqrt(var / np.maximum(ess, 1.0))

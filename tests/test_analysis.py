@@ -84,6 +84,14 @@ def test_mbar_expectation():
     assert x2 == pytest.approx(1.0, rel=0.1)
     x2b = est.compute_expectation(xs ** 2, state_index=1)
     assert x2b == pytest.approx(0.25, rel=0.1)
+    # all-states form (pymbar compute_expectations shape): same values
+    # in one shot, per-state error bars positive
+    means, ses = est.compute_expectations(xs ** 2, return_uncertainty=True)
+    assert means.shape == (2,) and ses.shape == (2,)
+    assert means[0] == pytest.approx(x2, abs=1e-12)
+    assert means[1] == pytest.approx(x2b, abs=1e-12)
+    assert np.all(ses > 0)
+    np.testing.assert_allclose(means, [1.0, 0.25], rtol=0.1)
 
 
 def test_mbar_uncertainty_brackets_analytic(subtests=None):
@@ -401,6 +409,41 @@ def test_pt_estimator_bootstrap_uses_iteration_resampling():
     assert est._iteration_major is True
     d = est.bootstrap_d_f_k(n_bootstrap=5, seed=0)
     assert d.shape == (R,) and d[0] == 0.0 and np.all(np.isfinite(d))
+
+
+def test_mbar_perturbed_free_energies_unsampled_state():
+    """Reweight a 2-state sampled HO ladder to an UNSAMPLED stiffness:
+    f of the perturbed state matches the analytic value within its own
+    error bar, and feeding a sampled state's u row back reproduces the
+    solved f_k for that state."""
+    from chiron_tpu.analysis import mbar_solve
+
+    Ks = [1.0, 4.0]
+    K_new = 2.0
+    rng = np.random.default_rng(11)
+    n = 4000
+    xs = np.concatenate(
+        [rng.normal(0, 1 / np.sqrt(K), size=n) for K in Ks]
+    )
+    u_kn = 0.5 * np.asarray(Ks)[:, None] * xs[None, :] ** 2
+    est = MBAREstimator()
+    est.initialize(u_kn, np.array([n, n]))
+    u_new = 0.5 * K_new * xs ** 2
+    f_l, d_f_l = est.compute_perturbed_free_energies(u_new)
+    assert f_l.shape == (1,) and d_f_l.shape == (1,)
+    f_true = 0.5 * np.log(K_new / Ks[0])  # 1D HO, f_k[0] gauge
+    assert abs(f_l[0] - f_true) < max(3.0 * d_f_l[0], 0.05), (
+        f_l[0], f_true, d_f_l[0]
+    )
+    assert d_f_l[0] > 0
+    # a sampled state reweights to itself
+    f_same, d_same = est.compute_perturbed_free_energies(u_kn[1])
+    assert f_same[0] == pytest.approx(est.f_k[1], abs=1e-8)
+    # its uncertainty matches the sampled-state estimate
+    assert d_same[0] == pytest.approx(est.d_f_k[1], rel=0.05)
+    # shape guard
+    with pytest.raises(ValueError, match="pooled samples"):
+        est.compute_perturbed_free_energies(u_new[:-3])
 
 
 def test_exp_free_energy_small_n_guard():
