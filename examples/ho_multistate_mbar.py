@@ -81,6 +81,21 @@ def main():
     print("d f_k (asymptotic):", np.round(d_asym, 4))
     print("d f_k (bootstrap): ", np.round(d_boot, 4))
     print(f"overlap scalar = {overlap:.3f}  (near 1 = connected ladder)")
+
+    # reweight to a state we never sampled: sigma = 2.3 A sits between
+    # ladder rungs; u scales as 1/sigma^2 so its reduced potentials are
+    # a rescale of state 0's row on the pooled samples
+    s_new = 2.3
+    u_new = est._u_kn[0] * (2.0 / s_new) ** 2
+    f_l, d_f_l = est.compute_perturbed_free_energies(u_new)
+    f_new_true = -1.5 * math.log(2 * math.pi * s_new ** 2) - (
+        -1.5 * math.log(2 * math.pi * 2.0 ** 2)
+    )
+    print(
+        f"unsampled sigma={s_new} A: f = {f_l[0]:.4f} +- {d_f_l[0]:.4f} kT"
+        f"  (analytic {f_new_true:.4f})"
+    )
+    assert abs(f_l[0] - f_new_true) < max(4.0 * d_f_l[0], 0.1)
     print("MBAR free-energy check: PASS")
 
 
