@@ -55,6 +55,17 @@ def _logsumexp(a: np.ndarray, axis=None, b: Optional[np.ndarray] = None):
     return out
 
 
+def _log_mixture_denominator(
+    u_kn: np.ndarray, N_k: np.ndarray, f_k: np.ndarray
+) -> np.ndarray:
+    """ln sum_j N_j exp(f_j - u_jn), shape (N,) -- the MBAR mixture
+    denominator.  Zero-count states are masked out (log N = -inf), so the
+    same expression serves sampled and augmented (perturbed) systems."""
+    N_k = np.asarray(N_k, dtype=np.float64)
+    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
+    return _logsumexp((f_k + log_N_k)[:, None] - u_kn, axis=0)
+
+
 def mbar_solve(
     u_kn: np.ndarray,
     N_k: np.ndarray,
@@ -97,7 +108,6 @@ def mbar_solve(
             f"sum(N_k) = {int(N_k.sum())} must equal the number of samples N = {N}"
         )
 
-    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
     if f_init is not None:
         f_k = np.asarray(f_init, dtype=np.float64).copy()
         f_k -= f_k[0]
@@ -105,8 +115,7 @@ def mbar_solve(
         f_k = np.zeros(K)
 
     def log_denominator(f):
-        # ln sum_j N_j exp(f_j - u_jn), shape (N,)
-        return _logsumexp((f + log_N_k)[:, None] - u_kn, axis=0)
+        return _log_mixture_denominator(u_kn, N_k, f)
 
     # -- self-consistent warm-up ------------------------------------------
     for _ in range(max_sc_iterations):
@@ -147,9 +156,7 @@ def mbar_solve(
 def mbar_weights(u_kn: np.ndarray, N_k: np.ndarray, f_k: np.ndarray) -> np.ndarray:
     """Normalized MBAR weight matrix W_kn (each row sums to 1)."""
     u_kn = np.asarray(u_kn, dtype=np.float64)
-    N_k = np.asarray(N_k, dtype=np.float64)
-    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
-    log_denom = _logsumexp((f_k + log_N_k)[:, None] - u_kn, axis=0)
+    log_denom = _log_mixture_denominator(u_kn, N_k, f_k)
     logW = f_k[:, None] - u_kn - log_denom[None, :]
     return np.exp(logW)
 
@@ -212,8 +219,7 @@ def mbar_perturbed_free_energies(
             f"{u_kn.shape[1]}; both must cover the pooled samples"
         )
     N_k = np.asarray(N_k, dtype=np.float64)
-    log_N_k = np.where(N_k > 0, np.log(np.maximum(N_k, 1)), -np.inf)
-    log_denom = _logsumexp((f_k + log_N_k)[:, None] - u_kn, axis=0)
+    log_denom = _log_mixture_denominator(u_kn, N_k, f_k)
     f_l = -_logsumexp(-u_ln - log_denom[None, :], axis=1)
     K, L = u_kn.shape[0], u_ln.shape[0]
     u_aug = np.vstack([u_kn, u_ln])
@@ -307,6 +313,16 @@ def mbar_bootstrap(
             raise ValueError(
                 f"iteration_layout {iteration_layout} does not tile "
                 f"{u_kn.shape[1]} samples"
+            )
+        # iteration resampling preserves N_k only when every iteration
+        # carries exactly one sample per sampled state: R positive-count
+        # states with N_k == T each (a replica-exchange permutation).
+        pos = N_k[N_k > 0]
+        if pos.size != R or not np.all(pos == T):
+            raise ValueError(
+                f"iteration_layout=({T}, {R}) requires exactly {R} "
+                f"sampled states with N_k == {T} each (one sample per "
+                f"state per iteration); got N_k = {N_k.tolist()}"
             )
     rng = np.random.default_rng(seed)
     f_full = mbar_solve(u_kn, N_k) if f_init is None else np.asarray(f_init)
@@ -440,7 +456,7 @@ def statistical_inefficiency(A_t: np.ndarray, mintime: int = 3) -> float:
     return max(1.0, g)
 
 
-def detect_equilibration(A_t: np.ndarray, nskip: int = None):
+def detect_equilibration(A_t: np.ndarray, nskip: int = 1):
     """Choose the production-region start that maximizes N_eff.
 
     pymbar's ``detect_equilibration``: for each candidate start t0,
@@ -458,8 +474,6 @@ def detect_equilibration(A_t: np.ndarray, nskip: int = None):
     T = A_t.size
     if T < 3:
         return 0, 1.0, float(T)
-    if nskip is None:
-        nskip = 1
     best = (0, 1.0, 0.0)
     for t0 in range(0, T - 2, nskip):
         g = statistical_inefficiency(A_t[t0:])
@@ -542,6 +556,22 @@ class MBAREstimator:
             raise RuntimeError("MBAREstimator.initialize must be called first")
         return self.f_k_
 
+    @property
+    def u_kn(self) -> np.ndarray:
+        """The pooled (K, N) reduced-potential matrix this estimator was
+        initialized with (2D, post-flatten) -- the sample set to
+        evaluate perturbed states' ``u_ln`` on."""
+        if self._u_kn is None:
+            raise RuntimeError("MBAREstimator.initialize must be called first")
+        return self._u_kn
+
+    @property
+    def N_k(self) -> np.ndarray:
+        """Per-state sample counts matching :attr:`u_kn`'s columns."""
+        if self._N_k is None:
+            raise RuntimeError("MBAREstimator.initialize must be called first")
+        return self._N_k
+
     def get_free_energy_difference(
         self, return_uncertainty: bool = False
     ):
@@ -618,8 +648,8 @@ class MBAREstimator:
         """
         d, _ = mbar_bootstrap(
             self._u_kn, self._N_k, n_bootstrap=n_bootstrap, seed=seed,
-            iteration_layout=getattr(self, "_iteration_layout", None),
-            iteration_major=getattr(self, "_iteration_major", False),
+            iteration_layout=self._iteration_layout,
+            iteration_major=self._iteration_major,
             f_init=self.f_k_,
         )
         return d

@@ -86,7 +86,7 @@ def main():
     # ladder rungs; u scales as 1/sigma^2 so its reduced potentials are
     # a rescale of state 0's row on the pooled samples
     s_new = 2.3
-    u_new = est._u_kn[0] * (2.0 / s_new) ** 2
+    u_new = est.u_kn[0] * (2.0 / s_new) ** 2
     f_l, d_f_l = est.compute_perturbed_free_energies(u_new)
     f_new_true = -1.5 * math.log(2 * math.pi * s_new ** 2) - (
         -1.5 * math.log(2 * math.pi * 2.0 ** 2)
