@@ -629,3 +629,11 @@ class ParallelTemperingSampler:
     @property
     def f_k(self) -> np.ndarray:
         return self._estimator.f_k
+
+    @property
+    def estimator(self):
+        """The MBAREstimator behind :meth:`compute_free_energies` --
+        carries the full uncertainty surface (d_f_k, bootstrap_d_f_k
+        with iteration resampling, overlap diagnostics, perturbed
+        states)."""
+        return self._estimator

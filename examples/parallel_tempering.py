@@ -65,6 +65,9 @@ def main():
     print("swap acceptance:", pt.swap_acceptance_fraction)
     f_k = pt.compute_free_energies()
     print("ladder free energies (kT):", np.round(f_k, 3))
+    # error bars via iteration resampling (valid under swap mixing)
+    d_f_k = pt.estimator.bootstrap_d_f_k(n_bootstrap=20, seed=0)
+    print("bootstrap d f_k (kT):   ", np.round(d_f_k, 3))
 
 
 if __name__ == "__main__":
