@@ -39,7 +39,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
                       sigma: float, epsilon: float, cutoff: float,
-                      approx_recip: bool):
+                      approx_recip: bool, with_energy: bool = False):
     sigma2 = sigma * sigma
     eps4 = 4.0 * epsilon
     cutoff2 = cutoff * cutoff
@@ -49,7 +49,8 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
     # Never revisit a tile (would double-count pairs).
     n_band_tiles = min((w + tm - 1) // tm + 2, n_tiles)
 
-    def kernel(pos_ref, box_ref, force_ref):
+    def kernel(pos_ref, box_ref, force_ref, *maybe_e_ref):
+        e_ref = maybe_e_ref[0] if with_energy else None
         i = pl.program_id(0)
         row0 = i * tm
         Lx = box_ref[0, 0]
@@ -59,6 +60,8 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
         @pl.when(i == 0)
         def _():
             force_ref[...] = jnp.zeros((3, n_pad), dtype=jnp.float32)
+            if with_energy:
+                e_ref[0, 0] = jnp.float32(0.0)
 
         xi = pos_ref[0, pl.ds(row0, tm)].reshape(tm, 1)
         yi = pos_ref[1, pl.ds(row0, tm)].reshape(tm, 1)
@@ -67,7 +70,11 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
         rvalid = rid < n
 
         def body(k, acc):
-            fx, fy, fz = acc
+            if with_energy:
+                fx, fy, fz, et = acc
+            else:
+                fx, fy, fz = acc
+                et = None
             jt = jax.lax.rem(i + k, n_tiles)
             col0 = jt * tm
             xj = pos_ref[0, pl.ds(col0, tm)].reshape(1, tm)
@@ -101,6 +108,11 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
                 inv = inv * (2.0 - r2s * inv)
             i2 = sigma2 * inv
             i6 = i2 * i2 * i2
+            if with_energy:
+                # each unordered pair appears exactly once (delta in [1, W])
+                et = et + jnp.sum(
+                    jnp.where(m, eps4 * (i6 * i6 - i6), 0.0)
+                )
             coef = jnp.where(m, (6.0 * eps4) * (2.0 * i6 * i6 - i6) * inv, 0.0)
             tx = coef * dx
             ty = coef * dy
@@ -118,13 +130,18 @@ def _make_band_kernel(n: int, n_pad: int, tm: int, w: int,
             force_ref[2, pl.ds(col0, tm)] = (
                 force_ref[2, pl.ds(col0, tm)] - jnp.sum(tz, axis=0)
             )
-            return fx, fy, fz
+            return (fx, fy, fz, et) if with_energy else (fx, fy, fz)
 
         z = jnp.zeros((tm, 1), jnp.float32)
-        fx, fy, fz = jax.lax.fori_loop(0, n_band_tiles, body, (z, z, z))
+        init = (z, z, z, jnp.float32(0.0)) if with_energy else (z, z, z)
+        out = jax.lax.fori_loop(0, n_band_tiles, body, init)
+        fx, fy, fz = out[0:3]
+        et = out[3] if with_energy else None
         force_ref[0, pl.ds(row0, tm)] = force_ref[0, pl.ds(row0, tm)] + fx[:, 0]
         force_ref[1, pl.ds(row0, tm)] = force_ref[1, pl.ds(row0, tm)] + fy[:, 0]
         force_ref[2, pl.ds(row0, tm)] = force_ref[2, pl.ds(row0, tm)] + fz[:, 0]
+        if with_energy:
+            e_ref[0, 0] = e_ref[0, 0] + et
 
     return kernel
 
@@ -153,6 +170,42 @@ def band_force_raw(pos3, box_diag, n: int, w: int, sigma: float,
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         interpret=interpret,
     )(pos3, box_diag)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "w", "sigma", "epsilon", "cutoff", "tm",
+                     "approx_recip", "interpret"),
+)
+def band_force_energy_raw(pos3, box_diag, n: int, w: int, sigma: float,
+                          epsilon: float, cutoff: float, tm: int,
+                          approx_recip: bool, interpret: bool):
+    """Force AND total truncated-LJ potential in one banded pass (each
+    unordered pair's energy counted once via the cyclic rank window)."""
+    n_pad = pos3.shape[1]
+    kernel = _make_band_kernel(n, n_pad, tm, w, sigma, epsilon, cutoff,
+                               approx_recip, with_energy=True)
+    f, e = pl.pallas_call(
+        kernel,
+        grid=(n_pad // tm,),
+        in_specs=[
+            pl.BlockSpec((3, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((3, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pos3, box_diag)
+    return f, e[0, 0]
 
 
 def sort_by_x(pos3: jnp.ndarray, payloads, n: int):
@@ -254,3 +307,38 @@ class LJBandPallas:
             pos3_sorted, box_diag, self.n, self.w, self.sigma, self.epsilon,
             self.cutoff, self.tm, approx_recip, self.interpret,
         )
+
+    def force_energy(self, pos3_sorted, box_diag,
+                     approx_recip: bool = False):
+        """Force and total truncated-LJ potential in one banded pass
+        (exact reciprocal by default, matching ops/lj_cull.py)."""
+        if self.w is None:
+            raise RuntimeError("call calibrate() first")
+        return band_force_energy_raw(
+            pos3_sorted, box_diag, self.n, self.w, self.sigma, self.epsilon,
+            self.cutoff, self.tm, approx_recip, self.interpret,
+        )
+
+    def energy_differentiable(self, pos3_sorted, box_diag):
+        """Banded total energy as a DIFFERENTIABLE function of sorted
+        positions: ``jax.grad`` of this is exactly the negative of the
+        kernel's analytic banded force (the CLAUDE.md
+        ``grad(energy) == -force`` invariant on the banded engine, same
+        ``jax.custom_vjp`` scheme as ops/lj_cull.py; reference grad-force
+        contract: chiron/potential.py:21-24).  The band width is constant
+        data -- valid wherever the sorted-order invariant holds."""
+
+        @jax.custom_vjp
+        def energy_fn(p):
+            _, e = self.force_energy(p, box_diag, approx_recip=False)
+            return e
+
+        def fwd(p):
+            F, e = self.force_energy(p, box_diag, approx_recip=False)
+            return e, F
+
+        def bwd(F, g):
+            return (-g * F,)
+
+        energy_fn.defvjp(fwd, bwd)
+        return energy_fn(pos3_sorted)

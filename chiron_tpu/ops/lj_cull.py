@@ -742,20 +742,30 @@ def culled_force_energy_raw(pos3, box_diag, pairs: TilePairList, n: int,
 def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                     dt, a_coef, b_coef, approx_recip, unroll,
                     mxu_reduce=False, prefetch=False, n_steps=None,
-                    slack=None, final_energy=False):
+                    slack=None, final_energy=False, anchor_input=False):
     inv_sigma = 1.0 / sigma
     eps_scale = 48.0 * epsilon / sigma  # 2x from the factored coef
     e_scale = 4.0 * epsilon
     cutoff2_s = (cutoff / sigma) ** 2
-    check_drift = slack is not None
+    check_drift = slack is not None or anchor_input
 
     def kernel(box_ref, seed_ref, off_ref, cols_ref, ccx_ref, ptr2_ref,
                rowcx_ref, minv_ref, sigv_ref,
-               x_in, v_in, f_in, x_ref, v_ref, f_ref, *rest):
+               x_in, v_in, f_in, *rest):
         rest = list(rest)
+        # anchor-input mode (NpT): the rebuild anchor and the remaining
+        # drift budget (slack - consumed volume-scaling slack) arrive as
+        # DATA, so one compiled program serves every sub-segment and the
+        # budget shrinks as the barostat accepts moves.
+        anchor_in = rest.pop(0) if anchor_input else None
+        budget_ref = rest.pop(0) if anchor_input else None
+        x_ref, v_ref, f_ref = rest.pop(0), rest.pop(0), rest.pop(0)
         flag_ref = rest.pop(0) if check_drift else None
         e_ref = rest.pop(0) if final_energy else None
-        anchor_ref = rest.pop(0) if check_drift else None
+        anchor_ref = (
+            anchor_in if anchor_input
+            else (rest.pop(0) if check_drift else None)
+        )
         s = pl.program_id(0)
         Lx = box_ref[0, 0]
         Ly = box_ref[0, 1]
@@ -770,9 +780,10 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             v_ref[...] = v_in[...]
             f_ref[...] = f_in[...]
             if check_drift:
-                # segment anchor: the (sorted) entry positions the live
-                # tile-pair list was built from
-                anchor_ref[...] = x_in[...]
+                if not anchor_input:
+                    # segment anchor: the (sorted) entry positions the
+                    # live tile-pair list was built from
+                    anchor_ref[...] = x_in[...]
                 flag_ref[0, 0] = 0.0
 
         # ---- BAOAB phase: merged kick, O-noise, drifts, wrap ----
@@ -824,8 +835,11 @@ def _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
             # fusion launches -- 2.9 us/step at S=50) ----
             @pl.when(s == n_steps - 1)
             def _drift_check():
+                thresh = (
+                    budget_ref[0, 0] if anchor_input else slack
+                )
                 bad = _tile_skin_drift_bad(
-                    x_ref, anchor_ref, n, n_pad, slack,
+                    x_ref, anchor_ref, n, n_pad, thresh,
                     Lx, inv_Lx, Ly, inv_Ly, Lz, inv_Lz,
                 )
                 flag_ref[0, 0] = jnp.where(bad, 1.0, 0.0)
@@ -846,7 +860,7 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
                   a_coef: float, b_coef: float, approx_recip: bool,
                   interpret: bool, unroll: int = 2, mxu_reduce: bool = False,
                   prefetch: bool = False, slack: float = None,
-                  final_energy: bool = False):
+                  final_energy: bool = False, anchor3=None, budget=None):
     """S-step fused BAOAB+force segment.
 
     With ``slack`` set, the kernel also evaluates the tile-skin
@@ -856,6 +870,14 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
     gone stale).  This replaces the runner's XLA drift check, whose
     small-fusion launches measured 145 us/segment on hardware.
 
+    With ``anchor3``/``budget`` (the NpT mode), the drift anchor and the
+    threshold arrive as DATA instead: ``anchor3`` is the (3, n_pad)
+    rebuild-time configuration (rescaled alongside accepted volume
+    moves) and ``budget`` the remaining slack after the accepted
+    scalings' consumption -- so the in-kernel check spans barostat
+    sub-segments exactly like the runner's former XLA end-of-segment
+    check, while every sub-segment shares ONE compiled program.
+
     With ``final_energy`` the last step's force pass also accumulates
     the total truncated-LJ potential of the FINAL configuration with the
     exact (Newton-refined) reciprocal, appended as another (1, 1)
@@ -864,14 +886,37 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
     """
     n_pad = x3.shape[1]
     capacity = pairs.rows.shape[1]
-    check_drift = slack is not None
+    anchor_input = anchor3 is not None
+    check_drift = slack is not None or anchor_input
     kernel = _make_md_kernel(n, n_pad, tm, tn, sigma, epsilon, cutoff,
                              dt, a_coef, b_coef, approx_recip, unroll,
                              mxu_reduce, prefetch, n_steps=n_steps,
-                             slack=slack, final_energy=final_energy)
+                             slack=slack, final_energy=final_energy,
+                             anchor_input=anchor_input)
     full = lambda s: (0, 0)
     smem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.SMEM)
     vmem = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
+    in_specs = [
+        smem((1, 3)),            # box
+        smem((1, 1)),            # seed
+        smem((1, 1)),            # step offset
+        smem((1, capacity)),     # cols
+        smem((1, capacity)),     # ccx (image-shifted)
+        smem((1, 2 * (n_pad // tm) + 1)),  # ptr2
+        smem((1, n_pad // tm)),  # rowcx
+        vmem((1, n_pad)),        # 1/m
+        vmem((1, n_pad)),        # sigma_v
+        vmem((3, n_pad)),        # x
+        vmem((3, n_pad)),        # v (half-kick convention)
+        vmem((3, n_pad)),        # F
+    ]
+    inputs = [box_diag.reshape(1, 3), seed, step_offset, pairs.cols,
+              pairs.ccx, pairs.ptr2, pairs.rowcx, minv, sigv, x3, v3, f3]
+    if anchor_input:
+        in_specs.append(vmem((3, n_pad)))   # drift anchor
+        in_specs.append(smem((1, 1)))       # remaining drift budget
+        inputs.append(anchor3)
+        inputs.append(jnp.asarray(budget, jnp.float32).reshape(1, 1))
     out_specs = [vmem((3, n_pad)), vmem((3, n_pad)), vmem((3, n_pad))]
     out_shape = [
         jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
@@ -885,32 +930,20 @@ def culled_md_raw(x3, v3, f3, box_diag, seed, step_offset, pairs: TilePairList,
     if final_energy:
         out_specs.append(smem((1, 1)))
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
-    if check_drift:
+    if check_drift and not anchor_input:
         scratch.append(pltpu.VMEM((3, n_pad), jnp.float32))
+    alias_base = 9  # x3's position in `inputs`
     outs = pl.pallas_call(
         kernel,
         grid=(n_steps,),
-        in_specs=[
-            smem((1, 3)),            # box
-            smem((1, 1)),            # seed
-            smem((1, 1)),            # step offset
-            smem((1, capacity)),     # cols
-            smem((1, capacity)),     # ccx (image-shifted)
-            smem((1, 2 * (n_pad // tm) + 1)),  # ptr2
-            smem((1, n_pad // tm)),  # rowcx
-            vmem((1, n_pad)),        # 1/m
-            vmem((1, n_pad)),        # sigma_v
-            vmem((3, n_pad)),        # x
-            vmem((3, n_pad)),        # v (half-kick convention)
-            vmem((3, n_pad)),        # F
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        input_output_aliases={9: 0, 10: 1, 11: 2},
+        input_output_aliases={alias_base: 0, alias_base + 1: 1,
+                              alias_base + 2: 2},
         interpret=interpret,
-    )(box_diag.reshape(1, 3), seed, step_offset, pairs.cols, pairs.ccx,
-      pairs.ptr2, pairs.rowcx, minv, sigv, x3, v3, f3)
+    )(*inputs)
     return outs
 
 
@@ -1021,15 +1054,20 @@ class CulledLJMD:
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
                     seed, step_offset, n_steps: int,
                     approx_recip: bool = True, drift_slack: float = None,
-                    final_energy: bool = False):
+                    final_energy: bool = False, drift_anchor=None,
+                    drift_budget=None):
         """Advance ``n_steps`` with a fixed pair list; standard (x, v, F)
         convention at both ends (half-kick conversion inside).
 
         With ``drift_slack`` the kernel also evaluates the tile-skin
         invariant in its final grid step and an extra return value (a
-        scalar bool: stale/non-finite) is appended.  With
-        ``final_energy`` the exact-reciprocal potential of the final
-        configuration is appended as a further scalar."""
+        scalar bool: stale/non-finite) is appended.  Alternatively
+        ``drift_anchor``/``drift_budget`` supply the anchor and the
+        threshold as DATA (the NpT mode: anchor = rescaled rebuild
+        configuration, budget = slack minus consumed volume-scaling
+        slack -- see culled_md_raw).  With ``final_energy`` the
+        exact-reciprocal potential of the final configuration is
+        appended as a further scalar."""
         w_in = v3 - (0.5 * self.dt) * f3 * self.minv
         outs = culled_md_raw(
             x3, w_in, f3, box_diag,
@@ -1040,13 +1078,14 @@ class CulledLJMD:
             self.cutoff, self.dt, self.a, self.b, approx_recip,
             self.interpret, unroll=self.unroll, mxu_reduce=self.mxu_reduce,
             prefetch=self.prefetch, slack=drift_slack,
-            final_energy=final_energy,
+            final_energy=final_energy, anchor3=drift_anchor,
+            budget=drift_budget,
         )
         x3, w_out, f_out = outs[0:3]
         v_std = w_out + (0.5 * self.dt) * f_out * self.minv
         ret = [x3, v_std, f_out]
         k = 3
-        if drift_slack is not None:
+        if drift_slack is not None or drift_anchor is not None:
             ret.append(outs[k][0, 0] > 0.5)
             k += 1
         if final_energy:

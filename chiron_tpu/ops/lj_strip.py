@@ -68,7 +68,7 @@ _SUBW = 2048  # strip sub-block width: caps VMEM temporaries at (tm, 2048)
 
 def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
                       Ly, inv_Ly, Lz, inv_Lz,
-                      sigma2, cutoff2, approx_recip):
+                      sigma2, cutoff2, approx_recip, e_ref=None):
     """Chunked halo-strip force pass (RMW into the zeroed fext_ref).
 
     The (tm, tm+H) strip is processed in sub-blocks of at most _SUBW
@@ -76,6 +76,13 @@ def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
     width (a 65k-particle band would otherwise blow VMEM).  Sub-block 0
     carries the leading-tile triangle mask (col <= row adds BIG to r2);
     later sub-blocks are pure cutoff masks.
+
+    With ``e_ref`` (a zeroed (1, 1) SMEM scalar) the pass also
+    accumulates the raw pair energy sum(i6^2 - i6) -- each unordered
+    pair counted once by the triangle/halo structure; masked slots
+    contribute exactly 0 because i6 underflows at r2 ~ BIG.  The caller
+    scales by 4*epsilon.  ``e_ref=None`` generates the identical jaxpr
+    as before (no dead carries in the force-only kernels).
     """
     strip_w = tm + H
     subw = min(_SUBW, strip_w)
@@ -91,7 +98,11 @@ def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
         zi = x_ref[2, pl.ds(row0, tm)].reshape(tm, 1)
 
         def sub_body(j, acc):
-            fx, fy, fz = acc
+            if e_ref is not None:
+                fx, fy, fz, et = acc
+            else:
+                fx, fy, fz = acc
+                et = None
             col0 = pl.multiple_of(row0 + j * subw, min(tm, subw))
             xj = x_ref[0, pl.ds(col0, subw)].reshape(1, subw)
             yj = x_ref[1, pl.ds(col0, subw)].reshape(1, subw)
@@ -111,6 +122,8 @@ def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
 
             r2 = jax.lax.cond(j == 0, with_tri, lambda r2: r2, r2)
             r2 = r2 + jnp.where(r2 < cutoff2, 0.0, jnp.float32(_BIG))
+            if e_ref is not None:
+                pair_ok = r2 > 0.0  # pre-clamp (see energy note below)
             r2 = jnp.maximum(r2, 1e-4 * sigma2)
             if approx_recip:
                 inv = pl.reciprocal(r2, approx=True)
@@ -122,6 +135,13 @@ def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
                 inv = inv * (2.0 - r2 * inv)
             i2 = sigma2 * inv
             i6 = i2 * i2 * i2
+            if e_ref is not None:
+                # masked slots contribute exactly 0 (i6 underflows at
+                # r2 ~ BIG), but padding-vs-padding slots have IDENTICAL
+                # sentinel coordinates -> r2 == 0 exactly, which the
+                # force path kills via dx == 0 and the energy path must
+                # mask explicitly (pre-clamp r2 > 0).
+                et = et + jnp.sum(jnp.where(pair_ok, i6 * i6 - i6, 0.0))
             coef = (2.0 * (i6 * i6) - i6) * inv  # eps folded in afterwards
             tx = coef * dx
             ty = coef * dy
@@ -138,10 +158,16 @@ def _strip_force_pass(x_ref, fext_ref, n_pad, tm, H,
             fx = fx + jnp.sum(tx, axis=1, keepdims=True)
             fy = fy + jnp.sum(ty, axis=1, keepdims=True)
             fz = fz + jnp.sum(tz, axis=1, keepdims=True)
-            return fx, fy, fz
+            return (fx, fy, fz, et) if e_ref is not None else (fx, fy, fz)
 
         z = jnp.zeros((tm, 1), jnp.float32)
-        fx, fy, fz = jax.lax.fori_loop(0, n_sub, sub_body, (z, z, z))
+        init = (
+            (z, z, z, jnp.float32(0.0)) if e_ref is not None else (z, z, z)
+        )
+        out = jax.lax.fori_loop(0, n_sub, sub_body, init)
+        fx, fy, fz = out[0:3]
+        if e_ref is not None:
+            e_ref[0, 0] = e_ref[0, 0] + out[3]
         fext_ref[0, pl.ds(row0, tm)] = (
             fext_ref[0, pl.ds(row0, tm)] + fx[:, 0]
         )
@@ -384,6 +410,44 @@ class StripLJMD:
             self.interpret,
         )
 
+    def force_energy(self, xe, box_diag, approx_recip: bool = False):
+        """Force and total truncated-LJ potential in one strip pass
+        (exact reciprocal by default, matching ops/lj_cull.py)."""
+        return strip_force_energy_raw(
+            xe, box_diag, self.n, self.tm, self.H,
+            self.sigma, self.epsilon, self.cutoff, approx_recip,
+            self.interpret,
+        )
+
+    def energy_differentiable(self, pos3_sorted, box_diag):
+        """Strip total energy as a DIFFERENTIABLE function of the sorted
+        CENTER positions (3, n_pad): the halo extension happens inside,
+        and the custom-VJP gradient is exactly the negative of the
+        kernel's halo-folded analytic force -- the CLAUDE.md
+        ``grad(energy) == -force`` invariant on the strip engine
+        (same scheme as ops/lj_cull.py; reference grad-force contract:
+        chiron/potential.py:21-24).  The halo width is constant data --
+        valid wherever the sorted-order invariant holds."""
+
+        @jax.custom_vjp
+        def energy_fn(p):
+            _, e = self.force_energy(
+                self.extend(p, box_diag), box_diag, approx_recip=False
+            )
+            return e
+
+        def fwd(p):
+            F, e = self.force_energy(
+                self.extend(p, box_diag), box_diag, approx_recip=False
+            )
+            return e, F
+
+        def bwd(F, g):
+            return (-g * F,)
+
+        energy_fn.defvjp(fwd, bwd)
+        return energy_fn(pos3_sorted)
+
 
 @functools.partial(
     jax.jit,
@@ -429,3 +493,56 @@ def strip_force_raw(xe, box_diag, n: int, tm: int, H: int,
         scratch_shapes=[pltpu.VMEM((3, n_ext), jnp.float32)],
         interpret=interpret,
     )(box_diag.reshape(1, 3), xe)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "tm", "H", "sigma", "epsilon", "cutoff",
+                     "approx_recip", "interpret"),
+)
+def strip_force_energy_raw(xe, box_diag, n: int, tm: int, H: int,
+                           sigma: float, epsilon: float, cutoff: float,
+                           approx_recip: bool, interpret: bool):
+    """Halo-strip force AND total truncated-LJ potential in one pass;
+    returns ((3, n_pad) folded force, scalar energy)."""
+    n_ext = xe.shape[1]
+    n_pad = n_ext - H
+    sigma2 = sigma * sigma
+    eps4 = 4.0 * epsilon
+    eps6x4 = 24.0 * epsilon
+    cutoff2 = cutoff * cutoff
+
+    def kernel(box_ref, x_ref, f_ref, e_ref, fext_ref):
+        Ly = box_ref[0, 1]
+        Lz = box_ref[0, 2]
+        fext_ref[...] = jnp.zeros((3, n_ext), jnp.float32)
+        e_ref[0, 0] = jnp.float32(0.0)
+        _strip_force_pass(
+            x_ref, fext_ref, n_pad, tm, H, Ly, 1.0 / Ly, Lz, 1.0 / Lz,
+            sigma2, cutoff2, approx_recip, e_ref=e_ref,
+        )
+        f = fext_ref[:, :n_pad]
+        fold = jnp.concatenate(
+            [fext_ref[:, n_pad:], jnp.zeros((3, n_pad - H), jnp.float32)],
+            axis=1,
+        )
+        f_ref[...] = eps6x4 * (f + fold)
+        e_ref[0, 0] = eps4 * e_ref[0, 0]
+
+    smem = lambda shape: pl.BlockSpec(shape, memory_space=pltpu.SMEM)
+    vmem = lambda shape=None: (
+        pl.BlockSpec(memory_space=pltpu.VMEM) if shape is None
+        else pl.BlockSpec(shape, memory_space=pltpu.VMEM)
+    )
+    f, e = pl.pallas_call(
+        kernel,
+        in_specs=[smem((1, 3)), vmem()],
+        out_specs=[vmem(), smem((1, 1))],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, n_ext), jnp.float32)],
+        interpret=interpret,
+    )(box_diag.reshape(1, 3), xe)
+    return f, e[0, 0]

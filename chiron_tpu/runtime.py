@@ -981,7 +981,6 @@ def make_culled_npt_lj_runner(
     beta = 1.0 / kT
     P_md = units.pressure_to_md(pressure)
     n_pad = md.n_pad
-    valid_lane = jnp.arange(n_pad) < n
     reach = md.cutoff + md.slack
     approx = not exact_forces
     n_sub = segment_steps // barostat_interval
@@ -1108,30 +1107,30 @@ def make_culled_npt_lj_runner(
                 )
                 for _k in range(n_sub):
                     carry = self._barostat_attempt(carry)
-                    x1, v1, F1, U1 = md.run_segment(
+                    # combined skin invariant, IN-KERNEL (same fold that
+                    # bought the NVT runner its r4 gains): the anchor
+                    # (rescaled rebuild configuration) and the remaining
+                    # budget (slack - consumed volume-scaling slack)
+                    # travel as data, so the final grid step checks the
+                    # cross-sub-segment thermal top-2 drift + non-finite
+                    # latch without the former 145 us/segment XLA check
+                    x1, v1, F1, stale, U1 = md.run_segment(
                         carry.x, carry.v, carry.F, carry.box_diag[0],
                         carry.pairs, seed=jnp.int32(seed),
                         step_offset=carry.step[0, 0],
                         n_steps=barostat_interval, approx_recip=approx,
                         final_energy=True,
+                        drift_anchor=carry.x_anchor,
+                        drift_budget=(
+                            jnp.float32(md.slack) - carry.scale_used
+                        ),
                     )
                     carry = _dc_replace(
                         carry, x=x1, v=v1, F=F1, U=U1,
+                        overflowed=carry.overflowed | stale,
                         step=carry.step + barostat_interval,
                     )
-                # combined skin invariant: thermal top-2 drift from the
-                # rebuild anchor + slack consumed by accepted volume
-                # scalings must stay under the slack
-                L = carry.box_diag.reshape(3, 1)
-                dx = carry.x - carry.x_anchor
-                dx = dx - L * jnp.round(dx / L)
-                overflowed = carry.overflowed | (
-                    _top2_drift(dx, valid_lane) + carry.scale_used
-                    > md.slack
-                ) | ~jnp.all(
-                    jnp.isfinite(jnp.where(valid_lane, carry.x, 0.0))
-                )
-                return _dc_replace(carry, overflowed=overflowed), None
+                return carry, None
 
             self._bodies[cache_key] = body
             return body

@@ -132,3 +132,30 @@ def test_band_runner_end_to_end():
     Fd = r.dense.force_only_t(st.x, st.box_diag, approx_recip=False)
     scale = float(jnp.max(jnp.abs(Fd)))
     assert float(jnp.max(jnp.abs(Fb - Fd))) / scale < 1e-5
+
+
+def test_band_energy_and_grad_is_negative_force():
+    """grad(energy) == -force on the BANDED engine (CLAUDE.md invariant
+    'everywhere'; same custom-VJP scheme as the culled/dense paths;
+    reference grad-force contract chiron/potential.py:21-24), and the
+    banded single-count energy matches the dense kernel's."""
+    n, rho = 1500, 0.4
+    x, box, L = _fluid(n, rho)
+    dense = LJDensePallas(n, SIGMA, EPS, CUTOFF, tm=64, tn=128,
+                          triangle=False)
+    band = LJBandPallas(n, SIGMA, EPS, CUTOFF, margin=0.15, tm=64)
+    pos3s, _ = sort_by_x(dense.pad_positions(x), (), n)
+    band.calibrate(pos3s, L)
+    bd = jnp.diagonal(box).reshape(1, 3)
+
+    F, E = band.force_energy(pos3s, bd, approx_recip=False)
+    _, E_ref = dense.force_energy(pos3s[:, :n].T, box)
+    assert float(jnp.abs(E - E_ref)) / abs(float(E_ref)) < 1e-5
+
+    g = jax.grad(lambda p: band.energy_differentiable(p, bd))(pos3s)
+    # exact by construction: the VJP returns the kernel's force array
+    assert float(jnp.max(jnp.abs(g + F))) == 0.0
+    # and that force is the dense oracle's (1e-5, as the force tests pin)
+    F_ref = dense.force_energy(pos3s[:, :n].T, box)[0]
+    scale = float(jnp.max(jnp.abs(F_ref)))
+    assert float(jnp.max(jnp.abs(F[:, :n].T - F_ref))) / scale < 1e-5

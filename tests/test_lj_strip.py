@@ -172,3 +172,31 @@ def test_strip_runner_equilibrates_kinetic_temperature():
     kT = 0.00831446 * 120.0
     assert abs(kT_kin - kT) / kT < 0.15
     assert np.isfinite(float(runner.energy(state)))
+
+
+def test_strip_energy_and_grad_is_negative_force(strip_system):
+    """grad(energy) == -force on the STRIP engine (CLAUDE.md invariant
+    'everywhere'; same custom-VJP scheme as the culled/dense paths;
+    reference grad-force contract chiron/potential.py:21-24), and the
+    strip single-count energy matches the jnp dense oracle."""
+    md, x3s, xe, box_diag = strip_system
+    F, E = md.force_energy(xe, box_diag, approx_recip=False)
+
+    pos = x3s[:, :N].T
+    ids = jnp.arange(N)
+    d = pos[:, None, :] - pos[None, :, :]
+    d = d - box_diag * jnp.round(d / box_diag)
+    r2 = jnp.sum(d * d, -1)
+    m = (r2 < CUTOFF * CUTOFF) & (ids[:, None] < ids[None, :])
+    r2s = jnp.where(m, r2, 1.0)
+    inv6 = ((SIGMA * SIGMA) / r2s) ** 3
+    E_ref = float(jnp.sum(
+        jnp.where(m, 4 * EPS * (inv6 * inv6 - inv6), 0.0)
+    ))
+    assert abs(float(E) - E_ref) / abs(E_ref) < 1e-5
+
+    # the differentiable surface takes the sorted CENTER coordinates
+    # (halo extension happens inside); its gradient is exactly the
+    # kernel's folded force
+    g = jax.grad(lambda p: md.energy_differentiable(p, box_diag))(x3s)
+    assert float(jnp.max(jnp.abs(g + F))) == 0.0

@@ -323,3 +323,17 @@ def test_culled_npt_density_parity_vs_dense_runner():
 
     vc, vd = float(np.mean(vols_c)), float(np.mean(vols_d))
     assert abs(vc - vd) / vd < 0.02, (vc, vd)
+
+
+def test_culled_npt_in_kernel_drift_latch():
+    """The NpT drift check now runs IN the MD kernel with the anchor and
+    the remaining budget as data (cross-sub-segment anchor semantics of
+    the former XLA end-of-segment check).  A slack too small for thermal
+    motion must latch `overflowed` and make check() raise; the budget
+    must also shrink with accepted volume scalings (tiny slack +
+    aggressive barostat latches even faster)."""
+    r, st = _make_culled(slack=0.02)
+    st = r.run(st, 200)
+    assert bool(st.overflowed)
+    with pytest.raises(RuntimeError, match="invariant"):
+        r.check(st)
