@@ -189,6 +189,26 @@ def main():
     print(f"unsampled lambda={lam_new}: d f/d eps = {g_new:+.3f} == "
           f"reweighted beta <dU/deps> = {expected:+.3f} (rel {rel:.1e})")
     assert rel < 1e-3
+
+    # -- what the gradient is FOR: force-field fitting ---------------------
+    # Solve for the target-state epsilon that yields a prescribed Delta f
+    # by scalar Newton on the differentiable estimator (valid while the
+    # reweighted target keeps overlap with the fixed sample set -- here
+    # the shift is ~1 kT, well inside the ladder's span).
+    target = df + 1.0
+    val = jax.jit(lambda e: delta_f(eps_k0.at[j].set(e), jnp.float32(sig0)))
+    grad_fn = jax.jit(jax.grad(
+        lambda e: delta_f(eps_k0.at[j].set(e), jnp.float32(sig0))))
+    e_cur = eps_k0[j]
+    for it in range(8):
+        fcur = float(val(e_cur))
+        if abs(fcur - target) < 1e-4:
+            break
+        e_cur = e_cur - (fcur - target) / float(grad_fn(e_cur))
+    print(f"fit: eps_K {float(eps_k0[j]):.4f} -> {float(e_cur):.4f} "
+          f"reaches Delta f = {float(val(e_cur)):.4f} "
+          f"(target {target:.4f}) in {it} Newton steps")
+    assert abs(float(val(e_cur)) - target) < 1e-3
     print("differentiable free-energy pipeline: PASS")
 
 
