@@ -11,7 +11,33 @@ target is beaten.
 """
 
 import json
+import subprocess
+import sys
 import time
+
+# Preflight BEFORE the jax import: with the axon plugin on PYTHONPATH a
+# wedged tunnel makes `import jax` itself block forever in a
+# connect-retry loop (observed after a SIGKILLed client).  Fail fast
+# with a diagnostic instead of hanging the benchmark driver; the probe
+# subprocess holds no device grant, so killing it on timeout is safe.
+try:
+    subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        timeout=300, check=True, capture_output=True,
+    )
+except subprocess.TimeoutExpired:
+    sys.stderr.write(
+        "bench.py: JAX backend unreachable (import jax / device init "
+        "did not return within 300 s -- axon tunnel down?); aborting "
+        "instead of hanging\n"
+    )
+    sys.exit(2)
+except subprocess.CalledProcessError as e:
+    sys.stderr.write(
+        "bench.py: JAX backend failed to initialize:\n"
+        + e.stderr.decode(errors="replace")[-2000:]
+    )
+    sys.exit(2)
 
 import jax
 
