@@ -33,12 +33,15 @@ from ..ops.lj_dense import LJDensePallas
 
 
 def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
-                         interpret):
+                         interpret, with_energy: bool = False):
     """Per-device fused kernel: (3, rows_per_dev) row slab vs all columns.
 
     Returns ``kernel_fn(rows3, pos3_full, box_diag, row_offset) -> (3,
     rows_per_dev) forces`` -- the building block shared by the sharded
-    force and the spatial MD runner.
+    force and the spatial MD runner.  With ``with_energy`` an extra
+    scalar output carries this slab's pair-energy sum; every unordered
+    pair is visited by BOTH owners' row slabs, so the caller halves the
+    psum over the mesh.
     """
     sigma2, eps4, cutoff2 = sigma * sigma, 4.0 * epsilon, cutoff * cutoff
 
@@ -48,7 +51,9 @@ def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
 
         n_col_tiles = n_pad // tm
 
-        def kernel(rows_ref, pos_ref, box_ref, off_ref, force_ref):
+        def kernel(rows_ref, pos_ref, box_ref, off_ref, force_ref,
+                   *maybe_e_ref):
+            e_ref = maybe_e_ref[0] if with_energy else None
             i = pl.program_id(0)
             row0 = i * tm
             Lx = box_ref[0, 0]
@@ -63,8 +68,17 @@ def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
             )
             rvalid = gids < n
 
+            if with_energy:
+                @pl.when(i == 0)
+                def _():
+                    e_ref[0, 0] = jnp.float32(0.0)
+
             def body(j, acc):
-                fx, fy, fz = acc
+                if with_energy:
+                    fx, fy, fz, et = acc
+                else:
+                    fx, fy, fz = acc
+                    et = None
                 col0 = j * tm
                 xj = pos_ref[0, pl.ds(col0, tm)].reshape(1, tm)
                 yj = pos_ref[1, pl.ds(col0, tm)].reshape(1, tm)
@@ -89,21 +103,40 @@ def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
                 inv = inv * (2.0 - r2s * inv)
                 i2 = sigma2 * inv
                 i6 = i2 * i2 * i2
+                if with_energy:
+                    et = et + jnp.sum(
+                        jnp.where(m, eps4 * (i6 * i6 - i6), 0.0)
+                    )
                 coef = jnp.where(
                     m, (6.0 * eps4) * (2.0 * i6 * i6 - i6) * inv, 0.0
                 )
                 fx = fx + jnp.sum(coef * dx, axis=1, keepdims=True)
                 fy = fy + jnp.sum(coef * dy, axis=1, keepdims=True)
                 fz = fz + jnp.sum(coef * dz, axis=1, keepdims=True)
-                return fx, fy, fz
+                return (fx, fy, fz, et) if with_energy else (fx, fy, fz)
 
             z = jnp.zeros((tm, 1), jnp.float32)
-            fx, fy, fz = jax.lax.fori_loop(0, n_col_tiles, body, (z, z, z))
+            init = (
+                (z, z, z, jnp.float32(0.0)) if with_energy else (z, z, z)
+            )
+            out = jax.lax.fori_loop(0, n_col_tiles, body, init)
+            fx, fy, fz = out[0:3]
             force_ref[0, pl.ds(row0, tm)] = fx[:, 0]
             force_ref[1, pl.ds(row0, tm)] = fy[:, 0]
             force_ref[2, pl.ds(row0, tm)] = fz[:, 0]
+            if with_energy:
+                e_ref[0, 0] = e_ref[0, 0] + out[3]
 
-        return pl.pallas_call(
+        out_specs = pl.BlockSpec((3, rows_per_dev), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((3, rows_per_dev), jnp.float32)
+        if with_energy:
+            out_specs = [out_specs,
+                         pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)]
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+        outs = pl.pallas_call(
             kernel,
             grid=(rows_per_dev // tm,),
             in_specs=[
@@ -116,11 +149,11 @@ def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
                 pl.BlockSpec((1, 1), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((3, rows_per_dev), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((3, rows_per_dev), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
             interpret=interpret,
         )(rows3, pos3, box_diag, row_offset)
+        return (outs[0], outs[1][0, 0]) if with_energy else outs
 
     return kernel_fn
 
@@ -192,6 +225,61 @@ def make_sharded_lj_force(
     force.op = op
     force.n_pad = n_pad
     force.rows_per_dev = rows_per_dev
+
+    # ---- differentiable sharded energy (grad(energy) == -force on the
+    # particle-axis-sharded path too; same custom-VJP scheme as the
+    # single-chip engines, reference grad-force contract
+    # chiron/potential.py:21-24) ----
+    kernel_fe = _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma,
+                                     epsilon, cutoff, interpret,
+                                     with_energy=True)
+
+    def sharded_fe(pos3, box_diag):
+        def per_device(rows3, pos3_full, box_diag):
+            idx = jax.lax.axis_index(axis_name)
+            off = (idx * rows_per_dev).astype(jnp.int32).reshape(1, 1)
+            f, e = kernel_fe(rows3, pos3_full, box_diag, off)
+            # every unordered pair is computed by both owners' slabs
+            return f, 0.5 * jax.lax.psum(e, axis_name)
+
+        f = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(None, axis_name), P(), P()),
+            out_specs=(P(None, axis_name), P()),
+            check_vma=False,
+        )
+        return f(pos3, pos3, box_diag)
+
+    jitted_fe = jax.jit(sharded_fe)
+
+    def force_energy(pos3, box_diag):
+        """(3, n_pad) padded positions -> (row-sharded force, total
+        energy replicated over the mesh)."""
+        return jitted_fe(pos3, box_diag)
+
+    def energy_differentiable(pos3, box_diag):
+        """Total truncated-LJ energy over the mesh as a DIFFERENTIABLE
+        function of positions: one fused sharded pass computes both the
+        value and (as its custom-VJP gradient) the exact analytic
+        sharded force."""
+
+        @jax.custom_vjp
+        def energy_fn(p):
+            return jitted_fe(p, box_diag)[1]
+
+        def fwd(p):
+            F, e = jitted_fe(p, box_diag)
+            return e, F
+
+        def bwd(F, g):
+            return (-g * F,)
+
+        energy_fn.defvjp(fwd, bwd)
+        return energy_fn(pos3)
+
+    force.force_energy = force_energy
+    force.energy_differentiable = energy_differentiable
     return force
 
 

@@ -217,8 +217,19 @@ SPATIAL_SCRIPT = textwrap.dedent(
     F3 = f(p, bd)
     F = F3[:, :N].T
     err = float(jnp.max(jnp.abs(F - F_ref))) / float(jnp.max(jnp.abs(F_ref)))
+
+    # differentiable sharded energy: value vs dense kernel, gradient is
+    # exactly the negative sharded force (grad(energy) == -force on the
+    # particle-axis-sharded path)
+    _, E_ref = op.force_energy(x, box)
+    F_fe, E = f.force_energy(p, bd)
+    g = jax.grad(lambda q: f.energy_differentiable(q, bd))(p)
+    e_err = abs(float(E) - float(E_ref)) / abs(float(E_ref))
+    grad_exact = float(jnp.max(jnp.abs(g + F_fe)))
     print(json.dumps({
         "err": err,
+        "e_err": e_err,
+        "grad_exact": grad_exact,
         "out_sharding": str(F3.sharding.spec),
         "rows_per_dev": f.rows_per_dev,
     }))
@@ -233,6 +244,10 @@ def test_spatial_sharded_force_on_8_devices():
     out = _run_on_8_cpu_devices(SPATIAL_SCRIPT)
     assert out["err"] < 1e-5, out
     assert "replica" in out["out_sharding"], out
+    # the half-factored double-counted energy matches the dense kernel
+    assert out["e_err"] < 1e-5, out
+    # grad(energy) == -force exactly on the sharded path
+    assert out["grad_exact"] == 0.0, out
 
 
 @pytest.mark.slow
