@@ -18,26 +18,38 @@ import time
 # Preflight BEFORE the jax import: with the axon plugin on PYTHONPATH a
 # wedged tunnel makes `import jax` itself block forever in a
 # connect-retry loop (observed after a SIGKILLed client).  Fail fast
-# with a diagnostic instead of hanging the benchmark driver; the probe
-# subprocess holds no device grant, so killing it on timeout is safe.
+# with a diagnostic instead of hanging the benchmark driver.  On
+# timeout the probe is SIGTERMed with a grace period and NEVER
+# SIGKILLed: device init IS the grant acquisition, and SIGKILLing a
+# client mid-grant is exactly what wedges the tunnel for ~10 minutes
+# (a SIGTERM is recorded to recover cleanly).  A probe that ignores
+# SIGTERM is left behind -- an orphan blocked in a connect loop is
+# harmless; a wedged device is not.
+_probe = subprocess.Popen(
+    [sys.executable, "-c", "import jax; jax.devices()"],
+    stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+)
 try:
-    subprocess.run(
-        [sys.executable, "-c", "import jax; jax.devices()"],
-        timeout=300, check=True, capture_output=True,
-    )
+    _probe.wait(timeout=600)
 except subprocess.TimeoutExpired:
+    _probe.terminate()
+    try:
+        _probe.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        pass  # leave the orphan; never SIGKILL a TPU client
     sys.stderr.write(
         "bench.py: JAX backend unreachable (import jax / device init "
-        "did not return within 300 s -- axon tunnel down?); aborting "
+        "did not return within 600 s -- axon tunnel down?); aborting "
         "instead of hanging\n"
     )
     sys.exit(2)
-except subprocess.CalledProcessError as e:
+if _probe.returncode != 0:
     sys.stderr.write(
         "bench.py: JAX backend failed to initialize:\n"
-        + e.stderr.decode(errors="replace")[-2000:]
+        + _probe.stderr.read().decode(errors="replace")[-2000:]
     )
     sys.exit(2)
+_probe.stderr.close()
 
 import jax
 

@@ -327,18 +327,9 @@ class LJBandPallas:
         ``jax.custom_vjp`` scheme as ops/lj_cull.py; reference grad-force
         contract: chiron/potential.py:21-24).  The band width is constant
         data -- valid wherever the sorted-order invariant holds."""
+        from .diff import energy_with_force_gradient
 
-        @jax.custom_vjp
-        def energy_fn(p):
-            _, e = self.force_energy(p, box_diag, approx_recip=False)
-            return e
-
-        def fwd(p):
-            F, e = self.force_energy(p, box_diag, approx_recip=False)
-            return e, F
-
-        def bwd(F, g):
-            return (-g * F,)
-
-        energy_fn.defvjp(fwd, bwd)
-        return energy_fn(pos3_sorted)
+        return energy_with_force_gradient(
+            lambda p: self.force_energy(p, box_diag, approx_recip=False),
+            pos3_sorted,
+        )

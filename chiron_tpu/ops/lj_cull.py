@@ -1033,23 +1033,13 @@ class CulledLJMD:
         list is treated as constant data (no gradient into the spatial
         hierarchy -- it is a piecewise-constant function of positions
         with zero derivative wherever it is valid)."""
+        from .diff import energy_with_force_gradient
 
-        @jax.custom_vjp
-        def energy_fn(p):
-            _, e = self.force_energy(p, box_diag, pairs,
-                                     approx_recip=False)
-            return e
-
-        def fwd(p):
-            F, e = self.force_energy(p, box_diag, pairs,
-                                     approx_recip=False)
-            return e, F
-
-        def bwd(F, g):
-            return (-g * F,)
-
-        energy_fn.defvjp(fwd, bwd)
-        return energy_fn(pos3)
+        return energy_with_force_gradient(
+            lambda p: self.force_energy(p, box_diag, pairs,
+                                        approx_recip=False),
+            pos3,
+        )
 
     def run_segment(self, x3, v3, f3, box_diag, pairs: TilePairList,
                     seed, step_offset, n_steps: int,

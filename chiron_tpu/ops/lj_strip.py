@@ -428,25 +428,14 @@ class StripLJMD:
         (same scheme as ops/lj_cull.py; reference grad-force contract:
         chiron/potential.py:21-24).  The halo width is constant data --
         valid wherever the sorted-order invariant holds."""
+        from .diff import energy_with_force_gradient
 
-        @jax.custom_vjp
-        def energy_fn(p):
-            _, e = self.force_energy(
+        return energy_with_force_gradient(
+            lambda p: self.force_energy(
                 self.extend(p, box_diag), box_diag, approx_recip=False
-            )
-            return e
-
-        def fwd(p):
-            F, e = self.force_energy(
-                self.extend(p, box_diag), box_diag, approx_recip=False
-            )
-            return e, F
-
-        def bwd(F, g):
-            return (-g * F,)
-
-        energy_fn.defvjp(fwd, bwd)
-        return energy_fn(pos3_sorted)
+            ),
+            pos3_sorted,
+        )
 
 
 @functools.partial(

@@ -263,20 +263,11 @@ def make_sharded_lj_force(
         function of positions: one fused sharded pass computes both the
         value and (as its custom-VJP gradient) the exact analytic
         sharded force."""
+        from ..ops.diff import energy_with_force_gradient
 
-        @jax.custom_vjp
-        def energy_fn(p):
-            return jitted_fe(p, box_diag)[1]
-
-        def fwd(p):
-            F, e = jitted_fe(p, box_diag)
-            return e, F
-
-        def bwd(F, g):
-            return (-g * F,)
-
-        energy_fn.defvjp(fwd, bwd)
-        return energy_fn(pos3)
+        return energy_with_force_gradient(
+            lambda p: jitted_fe(p, box_diag), pos3,
+        )
 
     force.force_energy = force_energy
     force.energy_differentiable = energy_differentiable
