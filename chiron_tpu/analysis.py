@@ -450,11 +450,28 @@ def mbar_solve_implicit(
     matmuls -- independent of how many iterations the forward solve took,
     and exact at the fixed point.
 
-    Gradients are of the ESTIMATOR at fixed samples (the standard
-    reweighting derivative): the samples' own dependence on the
-    parameters is not (and for equilibrium expectations need not be)
-    tracked.  ``N_k`` is sample bookkeeping, not a differentiable input.
+    WHAT THE GRADIENT IS (and is not).  The VJP differentiates the
+    ESTIMATOR as a function of the u_kn matrix entries, exactly (it
+    matches finite differences of the solver to solver tolerance).
+    Note carefully that a SAMPLED state's u_kn row plays two roles in
+    the MBAR equations: target potential AND the declaration of where
+    that state's samples came from.  Perturbing a sampled row therefore
+    also redefines the claimed sampling distribution, so d f_k/d theta
+    through this function is NOT a consistent estimator of the physical
+    free-energy derivative when theta parameterizes a sampled state
+    (measured on an analytic HO pair: it converges to 0.693, not the
+    true 0.5 -- tests/test_analysis.py pins the distinction).  For
+    physical force-field sensitivities d(Delta f)/d theta, FREEZE the
+    origins (this solve, at the sampled parameters) and differentiate
+    the target states through
+    :func:`mbar_perturbed_free_energies_jax`, whose gradient is the
+    consistent reweighted thermodynamic-integration estimator
+    sum_n W_ln du_ln/d theta (examples/differentiable_free_energy.py
+    demonstrates the full pattern).  The estimator's own gradient
+    remains the right object for solver sensitivity analysis and for
+    validating the implicit VJP.
 
+    ``N_k`` is sample bookkeeping, not a differentiable input.
     Returns f_k (dtype follows ``u_kn``; float32 forward residual is
     ~1e-6 after the Newton polish).
     """
@@ -508,12 +525,20 @@ def mbar_perturbed_free_energies_jax(
 
     Pure jnp -- no custom VJP needed: the perturbed free energy is a
     closed-form logsumexp of the inputs, so ``jax.grad`` through it is
-    already exact.  For an unsampled target state the gradient with
-    respect to its own reduced potentials reduces to the textbook
-    reweighting identity  df_l/du_ln = W_ln  (the target-state MBAR
-    weights), which :mod:`tests.test_analysis` pins.  Composes with
-    :func:`mbar_solve_implicit` for end-to-end parameter sensitivities
-    of states you never sampled.
+    already exact.  The gradient with respect to the target state's
+    reduced potentials is the textbook reweighting identity
+    df_l/du_ln = W_ln (the target-state MBAR weights), which
+    :mod:`tests.test_analysis` pins.
+
+    This is THE consistent path for physical parameter sensitivities
+    d(Delta f)/d theta: solve MBAR once at the sampled parameters
+    (freezing ``u_kn``/``f_k`` -- the origins), express every state of
+    interest as a theta-dependent TARGET ``u_ln(theta)`` on the pooled
+    samples, and differentiate this function.  The result is the
+    reweighted thermodynamic-integration estimator
+    sum_n W_ln du_ln/d theta, which converges to the true derivative
+    (unlike differentiating a sampled state's row through
+    :func:`mbar_solve_implicit` -- see that docstring).
     """
     u_kn = jnp.asarray(u_kn)
     N_k = jnp.asarray(N_k, dtype=u_kn.dtype)

@@ -14,20 +14,28 @@ backward pass:
     d Delta f / d (eps_k, sigma)  <----- jax.grad -+
 
 The workload is an alchemical epsilon ladder on a small LJ fluid sampled
-by the framework's own Metropolis displacement chains.  Three checks run:
+by the framework's own Metropolis displacement chains.
 
-1. d(Delta f)/d(sigma) and d(Delta f)/d(eps_k) match central finite
-   differences of the float64 host solver (exactness of the implicit
-   VJP on this real pipeline);
-2. for the sampled target state, d(Delta f)/d(eps_K) approximates the
-   thermodynamic-integration expectation beta <dU/d eps>_K
-   (a statistical, not exact, identity -- printed for comparison);
-3. for an UNSAMPLED lambda, the gradient of the differentiable
-   reweighting path equals the reweighted TI expectation exactly
-   (the textbook identity df_l/du_ln == W_ln, asserted tightly).
+TWO DISTINCT GRADIENTS exist here, and the example demonstrates both
+(the mbar_solve_implicit docstring derives the distinction):
 
-Gradients are of the estimator at fixed samples -- the standard
-reweighting derivative used in force-field fitting.
+* the ESTIMATOR's sensitivity -- jax.grad through the solve, where a
+  sampled state's u_kn row is both target and origin declaration.
+  Exact for the estimator (checked against f64 finite differences
+  below) and the right object for solver/ladder sensitivity analysis,
+  but NOT a consistent estimator of the physical d(Delta f)/d theta;
+* the PHYSICAL gradient -- freeze the origins (one solve at the
+  sampled parameters), express the endpoints as theta-dependent TARGET
+  states on the pooled samples (mbar_perturbed_free_energies_jax), and
+  differentiate.  Its gradient is the reweighted TI estimator
+  sum_n W_ln du_ln/d theta, consistent -- this is the one to use for
+  force-field fitting, and the Newton fit at the end drives it.
+
+Checks: (1) estimator-gradient exactness vs f64 finite differences;
+(2) the physical gradient equals the reweighted TI expectation exactly
+and the direct TI sample average statistically; (3) the unsampled-state
+gradient identity df_l/du_ln == W_ln; (4) a Newton fit of eps_K to a
+target Delta f on the physical objective.
 """
 
 import jax
@@ -156,18 +164,40 @@ def main():
     print(f"finite diff eps_K   = {fd_eps:+.3f}  (rel err {rel:.1e})")
     assert rel < 2e-2, (fd_eps, float(g_eps[j]))
 
-    # -- check 2: TI comparison at the sampled target state --------------
-    dU = jax.vmap(lambda x: jax.grad(lj_energy, argnums=1)(
-        x, eps_k0[j], jnp.float32(sig0)))(xs[j * n_cfg:(j + 1) * n_cfg])
-    ti = beta * float(dU.mean())
-    print(f"TI expectation beta <dU/deps>_K = {ti:+.3f} "
-          f"(estimator grad {float(g_eps[j]):+.3f}; statistical agreement)")
-
-    # -- check 3: unsampled state -- gradient == reweighted expectation --
-    lam_new = 0.7
+    # -- check 2: the PHYSICAL gradient (frozen origins) ------------------
+    # One solve at the SAMPLED parameters pins the origins; endpoints
+    # become theta-dependent TARGET states on the pooled samples.  The
+    # gradient of this objective is the reweighted TI estimator -- the
+    # consistent physical d(Delta f)/d(eps); the estimator's own
+    # gradient above is a different object (see module docstring).
     u_kn0 = beta * jax.vmap(
         lambda e: jax.vmap(lambda x: lj_energy(x, e, sig0))(xs))(eps_k0)
     f_k = mbar_solve_implicit(u_kn0, N_k)
+
+    def delta_f_phys(e_K):
+        u_l = beta * jax.vmap(
+            lambda x: lj_energy(x, e_K, sig0))(xs)[None, :]
+        return mbar_perturbed_free_energies_jax(u_kn0, N_k, f_k, u_l)[0]
+
+    g_phys = float(jax.grad(delta_f_phys)(eps_k0[j]))
+    # exact identity: == the MBAR-reweighted TI expectation at state K
+    log_N = jnp.log(N_k.astype(jnp.float32))
+    log_den0 = jax.nn.logsumexp((f_k + log_N)[:, None] - u_kn0, axis=0)
+    W_K = jnp.exp(f_k[j] - u_kn0[j] - log_den0)
+    dU_all = jax.vmap(lambda x: jax.grad(lj_energy, argnums=1)(
+        x, eps_k0[j], jnp.float32(sig0)))(xs)
+    reweighted = float(jnp.sum(W_K * beta * dU_all))
+    # direct TI sample average over state K's own block (statistical)
+    ti = beta * float(dU_all[j * n_cfg:(j + 1) * n_cfg].mean())
+    print(f"physical d Delta f/d eps_K = {g_phys:+.3f} == reweighted TI "
+          f"{reweighted:+.3f}; direct TI <beta dU/deps>_K = {ti:+.3f} "
+          f"(estimator-sensitivity grad, a DIFFERENT object: "
+          f"{float(g_eps[j]):+.3f})")
+    assert abs(g_phys - reweighted) < 1e-3 * max(abs(reweighted), 1.0)
+    assert abs(g_phys - ti) / abs(ti) < 0.15  # statistical agreement
+
+    # -- check 3: unsampled state -- gradient == reweighted expectation --
+    lam_new = 0.7
 
     def f_unsampled(eps_new):
         u_ln = beta * jax.vmap(
@@ -192,13 +222,13 @@ def main():
 
     # -- what the gradient is FOR: force-field fitting ---------------------
     # Solve for the target-state epsilon that yields a prescribed Delta f
-    # by scalar Newton on the differentiable estimator (valid while the
-    # reweighted target keeps overlap with the fixed sample set -- here
-    # the shift is ~1 kT, well inside the ladder's span).
+    # by scalar Newton on the PHYSICAL (frozen-origin) objective -- the
+    # consistent one -- valid while the reweighted target keeps overlap
+    # with the fixed sample set (the shift is ~1 kT, well inside the
+    # ladder's span; a production fit would resample and repeat).
     target = df + 1.0
-    val = jax.jit(lambda e: delta_f(eps_k0.at[j].set(e), jnp.float32(sig0)))
-    grad_fn = jax.jit(jax.grad(
-        lambda e: delta_f(eps_k0.at[j].set(e), jnp.float32(sig0))))
+    val = jax.jit(delta_f_phys)
+    grad_fn = jax.jit(jax.grad(delta_f_phys))
     e_cur = eps_k0[j]
     for it in range(8):
         fcur = float(val(e_cur))

@@ -655,3 +655,49 @@ def test_differentiable_free_energy_through_potential():
         em[j] -= h
         fd = (delta_f_host(ep) - delta_f_host(em)) / (2 * h)
         assert grad[j] == pytest.approx(fd, rel=2e-2, abs=1e-4), (j, grad, fd)
+
+
+def test_sampled_state_gradient_vs_physical_frozen_origin():
+    """A sampled state's u_kn row is both target potential AND origin
+    declaration, so differentiating it through the solve gives the
+    estimator's sensitivity -- NOT the physical d f/d theta (for this
+    analytic HO pair the two limits are ~0.69 vs 0.5).  The consistent
+    physical gradient freezes the origins and differentiates the
+    perturbed-state path (reweighted TI); this test pins BOTH facts the
+    docstrings claim."""
+    import jax
+    import jax.numpy as jnp
+    from chiron_tpu.analysis import (
+        mbar_perturbed_free_energies_jax,
+        mbar_solve_implicit,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    Ks = [1.0, 4.0]
+    xs = np.concatenate(
+        [rng.normal(0, 1 / np.sqrt(K), size=n) for K in Ks]
+    )
+    u_kn = jnp.asarray(
+        0.5 * np.asarray(Ks)[:, None] * xs[None, :] ** 2, jnp.float32
+    )
+    N_k = jnp.asarray(np.full(2, n))
+    f0 = mbar_solve_implicit(u_kn, N_k)
+
+    # estimator sensitivity: theta redefines the sampled state
+    g_est = float(jax.grad(
+        lambda t: mbar_solve_implicit(u_kn.at[1].mul(t), N_k)[-1]
+    )(jnp.float32(1.0)))
+
+    # physical gradient: origins frozen, theta moves a TARGET state
+    def f_phys(t):
+        return mbar_perturbed_free_energies_jax(
+            u_kn, N_k, f0, (t * u_kn[1])[None, :]
+        )[0]
+
+    g_phys = float(jax.grad(f_phys)(jnp.float32(1.0)))
+
+    # analytic: d f/d theta of u = theta * 0.5 K x^2 at theta=1 is 1/2
+    assert g_phys == pytest.approx(0.5, abs=0.03)
+    # and the estimator's own sensitivity is a DIFFERENT object
+    assert g_est > 0.6, (g_est, g_phys)
