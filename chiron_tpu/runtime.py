@@ -816,6 +816,25 @@ def make_culled_lj_runner(
                 )
             return state
 
+        def segment_fn(self, n_steps: int):
+            """Public compiled-segment surface: a jittable pure function
+            ``carry -> carry`` advancing one ``n_steps``-step segment
+            (sort + pair rebuild + fused MD kernel).  This is exactly the
+            scan body ``run()`` iterates, exposed for callers that manage
+            their own stepping (e.g. the graft driver's ``entry()``).
+            Requires ``init()`` to have run (layout/capacity are resolved
+            from the initial configuration).
+            """
+            if self.capacity is None:
+                raise RuntimeError("call init() before segment_fn()")
+            body = self._segment_body(n_steps)
+
+            def step(carry: CullCarry) -> CullCarry:
+                new_carry, _ = body(carry, None)
+                return new_carry
+
+            return step
+
         def check(self, state: CullCarry):
             if bool(state.overflowed):
                 raise RuntimeError(
