@@ -161,8 +161,8 @@ class LangevinIntegrator:
         reporter=None,
         save_traj_in_memory: bool = False,
     ) -> None:
-        self.timestep = timestep
-        self.collision_rate = collision_rate
+        self.timestep = units.coerce(timestep)
+        self.collision_rate = units.coerce(collision_rate)
         self.report_interval = report_interval
         self.reporter = reporter
         self.refresh_velocities = refresh_velocities

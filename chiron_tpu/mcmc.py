@@ -339,8 +339,8 @@ class LangevinDynamicsMove(MCMCMove):
             reporter=reporter,
             report_interval=report_interval,
         )
-        self.timestep = timestep
-        self.collision_rate = collision_rate
+        self.timestep = units.coerce(timestep)
+        self.collision_rate = units.coerce(collision_rate)
         self.save_traj_in_memory = save_traj_in_memory
         self.traj = []
         from .integrators import LangevinIntegrator
@@ -610,7 +610,7 @@ class MonteCarloDisplacementMove(MCMove):
             autotune_interval=autotune_interval,
             acceptance_method=acceptance_method,
         )
-        self.displacement_sigma = displacement_sigma
+        self.displacement_sigma = units.coerce(displacement_sigma)
         self.atom_subset = atom_subset
 
     def _param_value(self) -> float:

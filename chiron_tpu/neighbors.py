@@ -250,6 +250,7 @@ def pairlist_calculate_fn(
 
 
 def _positions_to_md(positions) -> jnp.ndarray:
+    positions = units.coerce(positions)
     if isinstance(positions, units.Quantity):
         if not positions.unit.is_compatible(units.nanometer):
             raise ValueError(
@@ -267,6 +268,7 @@ def _positions_to_md(positions) -> jnp.ndarray:
 def _box_to_md(box_vectors) -> Optional[jnp.ndarray]:
     if box_vectors is None:
         return None
+    box_vectors = units.coerce(box_vectors)
     if isinstance(box_vectors, units.Quantity):
         if not box_vectors.unit.is_compatible(units.nanometer):
             raise ValueError(
@@ -287,6 +289,7 @@ class PairsBase:
     def __init__(self, space: Space, cutoff=units.Quantity(1.2, units.nanometer)):
         if not isinstance(space, Space):
             raise TypeError(f"space must be of type Space, found {type(space)}")
+        cutoff = units.coerce(cutoff)
         if cutoff is not None and not cutoff.unit.is_compatible(units.angstrom):
             raise ValueError(
                 f"cutoff must be a unit.Quantity with units of distance, "
@@ -333,6 +336,7 @@ class NeighborListNsqrd(PairsBase):
     ):
         if not isinstance(space, Space):
             raise TypeError(f"space must be of type Space, found {type(space)}")
+        skin = units.coerce(skin)
         if not skin.unit.is_compatible(units.angstrom):
             raise ValueError(
                 f"cutoff must be a unit.Quantity with units of distance, "
@@ -350,6 +354,7 @@ class NeighborListNsqrd(PairsBase):
 
     @cutoff.setter
     def cutoff(self, cutoff):
+        cutoff = units.coerce(cutoff)
         if not cutoff.unit.is_compatible(units.nanometer):
             raise ValueError(
                 f"cutoff must be a unit.Quantity with units of distance, "
@@ -364,6 +369,7 @@ class NeighborListNsqrd(PairsBase):
 
     @skin.setter
     def skin(self, skin):
+        skin = units.coerce(skin)
         if not skin.unit.is_compatible(units.nanometer):
             raise ValueError(
                 f"skin must be a unit.Quantity with units of distance, "

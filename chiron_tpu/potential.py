@@ -150,6 +150,9 @@ class LJPotential(NeuralNetworkPotential):
                 f"Topology must be a Topology object or None, "
                 f"type(topology) = {type(topology)}"
             )
+        sigma = units.coerce(sigma)
+        epsilon = units.coerce(epsilon)
+        cutoff = units.coerce(cutoff)
         for name, q in (("sigma", sigma), ("epsilon", epsilon), ("cutoff", cutoff)):
             if not isinstance(q, units.Quantity):
                 raise TypeError(
@@ -320,6 +323,9 @@ class HarmonicOscillatorPotential(NeuralNetworkPotential):
                 f"Topology must be a Topology object or None, "
                 f"type(topology) = {type(topology)}"
             )
+        k = units.coerce(k)
+        x0 = units.coerce(x0)
+        U0 = units.coerce(U0)
         for name, q in (("k", k), ("x0", x0), ("U0", U0)):
             if not isinstance(q, units.Quantity):
                 raise TypeError(

@@ -69,6 +69,11 @@ class SamplerState:
         velocities: Optional[units.Quantity] = None,
         box_vectors: Optional[units.Quantity] = None,
     ) -> None:
+        # openmm.unit interop: real openmm Quantities are accepted
+        # everywhere the reference accepts them (reference states.py:44-87)
+        positions = units.coerce(positions)
+        velocities = units.coerce(velocities)
+        box_vectors = units.coerce(box_vectors)
         # Validation mirrors reference states.py:44-87.
         if not isinstance(positions, units.Quantity):
             raise TypeError(
@@ -148,6 +153,7 @@ class SamplerState:
 
     @positions.setter
     def positions(self, value) -> None:
+        value = units.coerce(value)
         if isinstance(value, units.Quantity):
             value = value.value_in_unit_system(units.md_unit_system)
         self._positions = jnp.asarray(value)
@@ -158,6 +164,7 @@ class SamplerState:
 
     @velocities.setter
     def velocities(self, value) -> None:
+        value = units.coerce(value)
         if isinstance(value, units.Quantity):
             value = value.value_in_unit_system(units.md_unit_system)
         value = jnp.asarray(value)
@@ -174,6 +181,7 @@ class SamplerState:
 
     @box_vectors.setter
     def box_vectors(self, value) -> None:
+        value = units.coerce(value)
         if isinstance(value, units.Quantity):
             value = value.value_in_unit_system(units.md_unit_system)
         self._box_vectors = jnp.asarray(value)
@@ -221,17 +229,17 @@ class SamplerState:
 
     @staticmethod
     def _convert_from_openmm_box(openmm_box_vectors: list) -> units.Quantity:
+        """A list of three length-3 row quantities (openmm's
+        getDefaultPeriodicBoxVectors layout, native or openmm-unit) ->
+        one (3, 3) nm Quantity."""
         box_vec = []
         for i in range(3):
-            layer = []
-            for j in range(3):
-                layer.append(
-                    openmm_box_vectors[i][j].value_in_unit(
-                        openmm_box_vectors[0].unit
-                    )
-                )
-            box_vec.append(layer)
-        return units.Quantity(jnp.array(box_vec), openmm_box_vectors[0].unit)
+            row = units.coerce(openmm_box_vectors[i])
+            box_vec.append([
+                row[j].value_in_unit_system(units.md_unit_system)
+                for j in range(3)
+            ])
+        return units.Quantity(jnp.array(box_vec), units.nanometer)
 
 
 class ThermodynamicState:
@@ -246,6 +254,9 @@ class ThermodynamicState:
     ):
         self.potential = potential
 
+        temperature = units.coerce(temperature)
+        volume = units.coerce(volume)
+        pressure = units.coerce(pressure)
         if temperature is not None and not isinstance(temperature, units.Quantity):
             raise TypeError(
                 f"temperature must be a unit.Quantity, "

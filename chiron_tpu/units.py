@@ -366,14 +366,119 @@ def is_quantity(x) -> bool:
     return isinstance(x, Quantity)
 
 
+# ---------------------------------------------------------------------------
+# openmm.unit interop (construction-boundary adapter)
+# ---------------------------------------------------------------------------
+#
+# Reference chiron constructors accept ``openmm.unit.Quantity`` everywhere
+# (reference states.py:44-87, potential.py:154-178).  ``chiron_tpu`` scripts
+# migrating from the reference can pass real openmm Quantities unmodified:
+# every construction boundary coerces them through :func:`from_openmm`.
+# The adapter duck-types on the openmm Quantity protocol
+# (``value_in_unit_system`` + ``unit.iter_base_dimensions``) so it needs no
+# openmm import of its own -- the md unit system is resolved from the
+# quantity's OWN package (``openmm.unit`` / ``simtk.unit``), which is
+# necessarily importable if such a quantity exists.
+
+# openmm BaseDimension names -> axis in our (length, mass, time,
+# temperature, amount) dims vector
+_OPENMM_DIM_AXIS = {
+    "length": 0, "mass": 1, "time": 2, "temperature": 3, "amount": 4,
+}
+
+
+def is_foreign_quantity(x) -> bool:
+    """True for a unit-bearing object that is NOT ours but implements the
+    openmm Quantity protocol (duck-typed; no openmm import)."""
+    return (
+        not isinstance(x, Quantity)
+        and hasattr(x, "unit")
+        and hasattr(x, "value_in_unit_system")
+    )
+
+
+def _openmm_md_system(q):
+    """The ``md_unit_system`` singleton of the foreign quantity's own
+    package: openmm.unit for openmm, simtk.unit for legacy simtk, or the
+    defining module itself for protocol-compatible stand-ins (tests)."""
+    import importlib
+    import sys
+
+    root = type(q).__module__.split(".")[0]
+    candidates = []
+    if root in ("openmm", "simtk"):
+        candidates.append(root + ".unit")
+    candidates.append(type(q).__module__)
+    for name in candidates:
+        try:
+            mod = sys.modules.get(name) or importlib.import_module(name)
+        except ImportError:
+            continue
+        system = getattr(mod, "md_unit_system", None)
+        if system is not None:
+            return system
+    raise TypeError(
+        f"cannot locate an md_unit_system for foreign quantity of type "
+        f"{type(q).__qualname__} (module {type(q).__module__!r})"
+    )
+
+
+def from_openmm(q) -> "Quantity":
+    """Convert an ``openmm.unit.Quantity`` (or any object implementing its
+    protocol) to a :class:`Quantity`.
+
+    The numeric value is taken in the openmm MD unit system (nm / dalton /
+    ps / K, energies kJ/mol) -- numerically identical to ours by
+    construction -- and the dimension vector is read from
+    ``unit.iter_base_dimensions()``, so downstream unit validation and
+    conversions behave exactly as for natively constructed quantities.
+    """
+    if isinstance(q, Quantity):
+        return q
+    if not is_foreign_quantity(q):
+        raise TypeError(
+            f"expected an openmm-style Quantity, got {type(q)} instead."
+        )
+    value = q.value_in_unit_system(_openmm_md_system(q))
+    dims = [0, 0, 0, 0, 0]
+    for base_dim, exponent in q.unit.iter_base_dimensions():
+        name = getattr(base_dim, "name", str(base_dim))
+        if name == "angle":  # radians are dimensionless here
+            continue
+        axis = _OPENMM_DIM_AXIS.get(name)
+        if axis is None:
+            raise ValueError(
+                f"foreign quantity carries unsupported base dimension "
+                f"{name!r} (unit {q.unit})"
+            )
+        dims[axis] += exponent
+    dims = tuple(dims)
+    # a unit whose scale IS the md-system factor for these dims: the md
+    # value round-trips exactly and compatibility checks see true dims
+    return Quantity(
+        value, Unit(md_unit_system.factor(dims), dims, f"md({q.unit})")
+    )
+
+
+def coerce(x):
+    """Construction-boundary hook: pass our quantities (and bare values)
+    through untouched; convert openmm-style quantities via
+    :func:`from_openmm`."""
+    if is_foreign_quantity(x):
+        return from_openmm(x)
+    return x
+
+
 def strip_md(x, expected: Union[Unit, "Quantity", None] = None):
     """Return the numeric value of ``x`` in the MD unit system.
 
-    Accepts a bare number/array (returned as-is) or a :class:`Quantity`
-    (converted; if ``expected`` is given its dimensions are validated).
-    ``expected`` may itself be a Quantity (e.g. ``1.0 / picosecond``), in
-    which case its unit is used.
+    Accepts a bare number/array (returned as-is), a :class:`Quantity`, or
+    an openmm-style quantity (coerced via :func:`from_openmm`); if
+    ``expected`` is given its dimensions are validated.  ``expected`` may
+    itself be a Quantity (e.g. ``1.0 / picosecond``), in which case its
+    unit is used.
     """
+    x = coerce(x)
     if isinstance(expected, Quantity):
         expected = expected.unit
     if isinstance(x, Quantity):

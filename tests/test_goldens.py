@@ -135,24 +135,47 @@ def test_prng_stream_golden():
 # The reference cross-validates LJ-fluid energies against OpenMM on the
 # openmmtools lattice fixture at four densities (reference
 # chiron/tests/test_testsystems.py:168-219: N=1000, sigma=0.34 nm,
-# eps=0.238 kcal/mol, cutoff=3 sigma).  OpenMM is not installable here, so
-# the truth values below were computed ONCE from the analytic truncated-LJ
-# pair sum in float64 over the identical lattice (the same numbers OpenMM
-# produces for this fixture up to its f32 tolerance; at the two dilute
+# eps=0.238 kcal/mol, cutoff=3 sigma).  The truth values live in
+# tests/data/openmm_goldens.json with a provenance header: OpenMM is not
+# installable on TPU hosts, so the committed file ships analytic float64
+# pair-sum values over the identical f32 lattice (at the two dilute
 # densities the lattice spacing exceeds the cutoff, so the energy is
-# exactly zero).  ALL paths assert the BASELINE.md <=1e-6 relative
+# exactly zero); running scripts/regenerate_openmm_goldens.py on any CPU
+# box with openmm rewrites it from a live double-precision OpenMM context
+# (VERDICT r4 item 7).  ALL paths assert the BASELINE.md <=1e-6 relative
 # target: the fused dense kernel's cross-tile energy accumulation is
 # Kahan-compensated with per-program partial slots (ops/lj_dense.py),
 # which brought the densest fixture from 1.2e-6 under the bar
 # (VERDICT r3 item 3).
 # ---------------------------------------------------------------------------
 
+import json
+import os
+
+with open(os.path.join(os.path.dirname(__file__), "data",
+                       "openmm_goldens.json")) as _f:
+    _GOLDENS_DOC = json.load(_f)
+
 GOLDEN_LJ_FIXTURE_ENERGIES = {
-    0.5: -3252.0961508944893,
-    0.05: -29.799075600016366,
-    0.005: 0.0,
-    0.001: 0.0,
+    float(k): v
+    for k, v in _GOLDENS_DOC["lj_fixture"]["energies_kj_per_mole"].items()
 }
+
+
+def test_goldens_file_declares_fixture_and_provenance():
+    """The goldens file must describe the exact committed fixture (so a
+    regeneration on a different fixture fails loudly) and carry a
+    provenance block naming its source + script hash."""
+    fx = _GOLDENS_DOC["lj_fixture"]
+    assert fx["nparticles"] == 1000
+    assert fx["sigma_nm"] == pytest.approx(0.34)
+    assert fx["epsilon_kcal_per_mole"] == pytest.approx(0.238)
+    assert fx["cutoff_nm"] == pytest.approx(3 * 0.34)
+    prov = _GOLDENS_DOC["provenance"]
+    assert prov["source"] in ("analytic-f64-pair-sum", "openmm")
+    assert len(prov["script_sha256"]) == 64
+    if prov["source"] == "openmm":
+        assert prov["openmm_version"]
 
 
 @pytest.mark.parametrize("rho", sorted(GOLDEN_LJ_FIXTURE_ENERGIES))
