@@ -345,9 +345,11 @@ class LangevinDynamicsMove(MCMCMove):
         self.traj = []
         from .integrators import LangevinIntegrator
 
+        # the integrator gets the SAME coerced quantities (one source of
+        # truth; the integrator's own coerce() is then a no-op)
         self.integrator = LangevinIntegrator(
-            timestep=timestep,
-            collision_rate=collision_rate,
+            timestep=self.timestep,
+            collision_rate=self.collision_rate,
             refresh_velocities=refresh_velocities,
             report_interval=report_interval,
             reporter=reporter,

@@ -389,11 +389,14 @@ _OPENMM_DIM_AXIS = {
 
 def is_foreign_quantity(x) -> bool:
     """True for a unit-bearing object that is NOT ours but implements the
-    openmm Quantity protocol (duck-typed; no openmm import)."""
+    openmm Quantity protocol (duck-typed; no openmm import).  The full
+    protocol is required -- including ``unit.iter_base_dimensions`` -- so
+    arbitrary unit-ish wrappers fall through to the constructors' normal
+    validation errors instead of a confusing adapter failure."""
     return (
         not isinstance(x, Quantity)
-        and hasattr(x, "unit")
         and hasattr(x, "value_in_unit_system")
+        and hasattr(getattr(x, "unit", None), "iter_base_dimensions")
     )
 
 
@@ -440,6 +443,15 @@ def from_openmm(q) -> "Quantity":
             f"expected an openmm-style Quantity, got {type(q)} instead."
         )
     value = q.value_in_unit_system(_openmm_md_system(q))
+    # openmm returns list-of-Vec3 for positions/box vectors (the default
+    # State.getPositions() container): normalize plain sequences to an
+    # ndarray so downstream arithmetic (value * factor) is array math,
+    # never Python-sequence repetition.  Real arrays (numpy, jax) pass
+    # through untouched.
+    if isinstance(value, (list, tuple)) or not (
+        isinstance(value, (int, float)) or hasattr(value, "shape")
+    ):
+        value = _np.asarray(value, dtype=_np.float64)
     dims = [0, 0, 0, 0, 0]
     for base_dim, exponent in q.unit.iter_base_dimensions():
         name = getattr(base_dim, "name", str(base_dim))

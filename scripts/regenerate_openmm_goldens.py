@@ -40,8 +40,10 @@ KCAL_TO_KJ = 4.184
 
 def fixture_lattice(nparticles: int, reduced_density: float):
     """Bit-identical copy of chiron_tpu.testsystems.LennardJonesFluid's
-    lattice: cubic grid in a box of volume N sigma^3 / rho*, positions
-    rounded to float32 exactly as the committed fixture stores them."""
+    lattice: cubic grid in a box of volume N sigma^3 / rho*, positions AND
+    the box length rounded to float32 exactly as the committed fixture
+    stores them (positions via jnp.asarray(..., float32), the box via
+    jnp.eye(3, float32) * L)."""
     volume = nparticles * SIGMA_NM ** 3 / reduced_density
     L = volume ** (1.0 / 3.0)
     n_side = int(math.ceil(nparticles ** (1.0 / 3.0)))
@@ -49,7 +51,8 @@ def fixture_lattice(nparticles: int, reduced_density: float):
     grid = np.arange(n_side) * spacing
     xyz = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"), axis=-1)
     xyz = xyz.reshape(-1, 3)[:nparticles]
-    return np.asarray(xyz, dtype=np.float32).astype(np.float64), L
+    L32 = float(np.float32(1.0) * np.float32(L))
+    return np.asarray(xyz, dtype=np.float32).astype(np.float64), L32
 
 
 def openmm_lj_energy(positions_nm: np.ndarray, box_L_nm: float) -> float:

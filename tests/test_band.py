@@ -104,6 +104,7 @@ def test_sort_by_x_with_payload():
         assert np.isclose(xs[i], orig[j])
 
 
+@pytest.mark.slow
 def test_band_runner_end_to_end():
     """Band runner: in-scan conditional resorting keeps forces exact."""
     from chiron_tpu import units

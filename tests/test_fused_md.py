@@ -55,6 +55,7 @@ def test_fused_matches_scan_integrator_deterministic():
     assert dv < 5e-1, dv
 
 
+@pytest.mark.slow
 def test_fused_energy_conservation_gamma_zero():
     """Total energy conserved by the fused velocity-Verlet limit."""
     fluid, runner, state, md = _setup(n=125, rho=0.4, T=60.0, gamma=0.0)

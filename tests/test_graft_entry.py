@@ -53,9 +53,24 @@ def test_forced_cpu_device_count_reads_env_only(monkeypatch):
 
 def test_strip_axon_site_drops_plugin_dirs():
     pp = os.pathsep.join(
-        ["/root/repo", "/root/.axon_site", "/usr/lib/x", "/opt/axon_site/"]
+        ["/root/repo", "/root/.axon_site", "/usr/lib/x", "/opt/axon_site/",
+         "/home/user/taxonomy"]  # contains 'axon' but is NOT a plugin dir
     )
     out = ge._strip_axon_site(pp).split(os.pathsep)
     assert "/root/repo" in out and "/usr/lib/x" in out
-    assert not any("axon" in p for p in out)
+    assert "/home/user/taxonomy" in out  # exact-name match, not substring
+    assert not any(p.rstrip("/").endswith(("axon_site", ".axon_site"))
+                   for p in out)
     assert ge._strip_axon_site("") == ""
+
+
+def test_forced_cpu_device_count_uses_last_flag_occurrence(monkeypatch):
+    """XLA honors the LAST repeated flag; _reexec_dryrun appends, so
+    duplicates are the norm, not the exception."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv(
+        "XLA_FLAGS",
+        "--xla_force_host_platform_device_count=16 "
+        "--xla_force_host_platform_device_count=4",
+    )
+    assert ge._forced_cpu_device_count() == 4

@@ -77,6 +77,7 @@ def test_langevin_refresh_velocities():
     assert out.velocities is not None
 
 
+@pytest.mark.slow
 def test_langevin_lj_fluid_with_neighbor_list():
     """Small LJ fluid propagates stably with on-device neighbor rebuilds."""
     PRNG.set_seed(1234)
@@ -125,6 +126,7 @@ def test_langevin_reporter_cadence():
     assert all("potential_energy" in r for r in rep.records)
 
 
+@pytest.mark.slow
 def test_gradient_through_trajectory_matches_finite_difference():
     """Differentiable MD (the reference's tagline capability it never
     exercises): reverse-mode d<U_final>/d_eps through a scanned BAOAB

@@ -60,6 +60,7 @@ def sorted_system():
     return md, pos3s, box_diag
 
 
+@pytest.mark.slow
 def test_culled_force_matches_dense_oracle(sorted_system):
     md, pos3s, box_diag = sorted_system
     pairs = md.build_pairs(pos3s, box_diag, capacity=8192)
@@ -105,6 +106,7 @@ def test_mxu_reduce_force_matches_vpu(sorted_system):
     assert float(jnp.max(jnp.abs(F_vpu - F_mxu))) < 1e-4
 
 
+@pytest.mark.slow
 def test_prefetch_force_and_segment_match_baseline(sorted_system):
     """The software-pipelined fast loop (prefetch=True) reorders only the
     SCHEDULE of column-slice loads; per-entry arithmetic is unchanged.
@@ -150,6 +152,7 @@ def test_capacity_overflow_flagged(sorted_system):
     assert bool(pairs.overflowed)
 
 
+@pytest.mark.slow
 def test_shift_bound_violation_flagged():
     # box barely over 2 cutoffs: L/2 - cutoff - slack < 0, so the constant
     # x/y-shift convention cannot be valid -> must be flagged
@@ -279,6 +282,7 @@ def test_engine_auto_selection():
                        engine="warp")
 
 
+@pytest.mark.slow
 def test_nan_positions_latch_overflow():
     """A NaN-poisoned state must latch overflowed (NaN comparisons would
     otherwise silently pass the drift check)."""
@@ -331,6 +335,7 @@ def test_culled_force_energy_matches_jnp_oracle(sorted_system):
     assert abs(float(U) - Uo) < 1e-5 * abs(Uo) + 1e-3, (float(U), Uo)
 
 
+@pytest.mark.slow
 def test_in_kernel_drift_check_latches_stale_list():
     """The tile-skin invariant now evaluated inside the MD kernel's final
     grid step must latch when the top-2 joint drift exceeds the slack
@@ -355,6 +360,7 @@ def test_in_kernel_drift_check_latches_stale_list():
         runner.check(state)
 
 
+@pytest.mark.slow
 def test_culled_energy_grad_is_negative_force(sorted_system):
     """grad(energy) == -force on the CULLED (flagship) path, not just
     the dense one (VERDICT r3 item 5; CLAUDE.md invariant; reference
@@ -398,6 +404,7 @@ def test_culled_energy_grad_is_negative_force(sorted_system):
     assert float(jnp.percentile(err, 99.0)) / scale < 1e-5
 
 
+@pytest.mark.slow
 def test_segment_final_energy_matches_standalone(sorted_system):
     """run_segment(final_energy=True) must return the same exact-
     reciprocal potential as a standalone culled force+energy pass on the
@@ -414,6 +421,7 @@ def test_segment_final_energy_matches_standalone(sorted_system):
     assert float(jnp.abs(E_seg - E_ref)) <= 1e-6 * abs(float(E_ref))
 
 
+@pytest.mark.slow
 def test_culled_runner_nve_energy_conservation():
     """gamma=0 turns BAOAB into velocity Verlet: total energy (KE + PE)
     through the full culled engine -- sort, tile-pair build, fused
@@ -478,6 +486,7 @@ def test_culled_runner_nve_energy_conservation():
     assert abs(e1 - e0) / ke_scale < 0.005, (e0, e1)
 
 
+@pytest.mark.slow
 def test_segment_fn_is_public_and_matches_run():
     """segment_fn(S) is the public compiled-segment surface the graft
     driver's entry() consumes (VERDICT r4 item 4): it must be jittable,

@@ -56,6 +56,7 @@ def _run_mega(md, x3, v3, F3, box_diag, n_steps, capacity, passes,
     return x1, v1, F1, flag
 
 
+@pytest.mark.slow
 def test_mega_segment_matches_classic_path(system):
     """With repair off, a megakernel segment from a sorted state must
     match the classic [XLA build + run_segment] path EXACTLY -- same
@@ -79,6 +80,7 @@ def test_mega_segment_matches_classic_path(system):
         assert float(jnp.max(jnp.abs(a - b))) == 0.0, name
 
 
+@pytest.mark.slow
 def test_mega_repair_is_pure_permutation(system):
     """Repair passes must only PERMUTE real particles (identical
     physical multiset, padding lanes untouched) and leave the state
@@ -114,6 +116,7 @@ def test_mega_repair_is_pure_permutation(system):
     assert inversions(x1) <= inversions(x0)
 
 
+@pytest.mark.slow
 def test_mega_runner_end_to_end_and_latches(system):
     from chiron_tpu import units
     from chiron_tpu.runtime import make_culled_lj_runner, make_fast_lj_runner

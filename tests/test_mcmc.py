@@ -307,6 +307,7 @@ def test_dense_pairs_langevin():
     assert bool(jnp.isfinite(e))
 
 
+@pytest.mark.slow
 def test_mc_chain_overflow_grows_capacity_and_retries():
     """A mid-chain neighbor-list capacity overflow must regrow the list
     (reference's +10 rule, reference neighbors.py:709-727) and re-run the

@@ -130,6 +130,7 @@ _SMOKE = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_mesh_multistate_2device_smoke():
     """FAST-tier sharding smoke: shard_map compiles + runs on 2 devices."""
     out = _run_on_cpu_devices(_SMOKE, n_devices=2, timeout=600)
@@ -306,6 +307,7 @@ _MIXED = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_mesh_multistate_mixed_ladder_matches_serial_8device():
     """Heterogeneous (HO-k + LJ) ladder through the closed-set lax.switch
     path on 8 devices: the sharded u_kn must match the serial base
@@ -419,6 +421,7 @@ _CUSTOM = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_custom_registered_potential_runs_sharded_2device():
     """FAST tier: a user-defined potential class registered via
     register_potential_kind must take the sharded path (no serial

@@ -116,6 +116,7 @@ def _make_culled(n=125, rho=0.1, P_atm=50.0, interval=10, segment=20, **kw):
     return r, st
 
 
+@pytest.mark.slow
 def test_culled_npt_mechanics():
     r, st = _make_culled()
     V0 = float(r.volume(st))
@@ -130,6 +131,7 @@ def test_culled_npt_mechanics():
     assert x.min() > -1e-4 and x.max() < L * (1 + 1e-4) + 1e-4
 
 
+@pytest.mark.slow
 def test_culled_npt_matches_dense_npt_energy_convention():
     """The culled barostat's energies must agree with the dense kernel's
     (same truncated-LJ convention), so the two NpT runners sample the
@@ -147,6 +149,7 @@ def test_culled_npt_matches_dense_npt_energy_convention():
     assert abs(U_culled - U_dense) < 1e-2 + 1e-5 * abs(U_dense)
 
 
+@pytest.mark.slow
 def test_culled_npt_scaled_list_matches_rebuilt_list():
     """A volume proposal rescales the live tile-pair list (ccx/rowcx * s)
     instead of rebuilding; the resulting energy must match a from-scratch
@@ -257,6 +260,7 @@ def test_dense_npt_min_image_guards():
     assert int(carry.n_proposed) == int(st.n_proposed) + 30
 
 
+@pytest.mark.slow
 def test_culled_npt_slab_key_scaled_list_matches_rebuilt():
     """The rescaled-list barostat must stay exact under the (x-slab, y)
     sort key (the large-N production key): uniform scaling maps the
@@ -325,6 +329,7 @@ def test_culled_npt_density_parity_vs_dense_runner():
     assert abs(vc - vd) / vd < 0.02, (vc, vd)
 
 
+@pytest.mark.slow
 def test_culled_npt_in_kernel_drift_latch():
     """The NpT drift check now runs IN the MD kernel with the anchor and
     the remaining budget as data (cross-sub-segment anchor semantics of

@@ -30,20 +30,10 @@ def system():
 
 
 def dense_oracle(pos, box):
-    """jnp reference: masked dense LJ force + energy with minimum image."""
-    ids = jnp.arange(pos.shape[0])
-    Lv = jnp.diagonal(box)
-    d = pos[:, None, :] - pos[None, :, :]
-    d = d - Lv * jnp.round(d / Lv)
-    r2 = jnp.sum(d * d, -1)
-    m = (r2 < CUTOFF * CUTOFF) & (ids[:, None] != ids[None, :])
-    r2s = jnp.where(m, r2, 1.0)
-    inv2 = (SIGMA * SIGMA) / r2s
-    inv6 = inv2 * inv2 * inv2
-    coef = jnp.where(m, 24 * EPS * (2 * inv6 * inv6 - inv6) / r2s, 0.0)
-    F = jnp.sum(coef[..., None] * d, axis=1)
-    E = 0.5 * jnp.sum(jnp.where(m, 4 * EPS * (inv6 * inv6 - inv6), 0.0))
-    return F, E
+    """jnp reference: the shared semantic oracle at this module's params."""
+    from chiron_tpu.oracles import lj_dense_oracle
+
+    return lj_dense_oracle(pos, box, SIGMA, EPS, CUTOFF)
 
 
 @pytest.mark.parametrize("triangle", [False, True])
@@ -67,6 +57,7 @@ def test_dense_kernel_grad_is_negative_force(system):
     assert float(jnp.max(jnp.abs(g + F))) == 0.0
 
 
+@pytest.mark.slow
 def test_fast_runner_propagates(system):
     """make_fast_lj_runner end-to-end on the kernel path."""
     from chiron_tpu import units

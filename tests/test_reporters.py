@@ -154,6 +154,7 @@ def test_sampler_checkpoint_roundtrip(tmp_path):
     assert np.allclose(np.asarray(ss2.box_vectors), np.eye(3) * 2)
 
 
+@pytest.mark.slow
 def test_parallel_tempering_reporter_integration(tmp_path):
     """PT writes u_kn / state_index / per-replica trajectories through the
     MultistateReporter (reference schema chiron/reporters.py:210-269)."""

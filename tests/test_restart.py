@@ -57,6 +57,7 @@ def test_langevin_restart_is_bitwise_identical(tmp_path):
     assert jnp.all(ss3.velocities == ss_cont.velocities)
 
 
+@pytest.mark.slow
 def test_mc_restart_with_statistics(tmp_path):
     """MC chain restart: state + move statistics + tuned parameter resume."""
     PRNG.set_seed(7)
@@ -135,6 +136,7 @@ def test_multistate_states_roundtrip(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_pt_session_restart_is_bitwise_identical(tmp_path):
     """A ParallelTemperingSampler session killed mid-run and restored from
     save_session continues bit-compatibly with the uninterrupted run
@@ -217,6 +219,7 @@ def test_sampler_checkpoint_field_mismatch_raises(tmp_path):
         load_sampler_checkpoint(path, tmpl)
 
 
+@pytest.mark.slow
 def test_multistate_session_restart_matches_inprocess_continuation(tmp_path):
     """A MultiStateSampler session saved and restored into a fresh sampler
     continues exactly like the same sampler continuing in-process."""
@@ -289,6 +292,7 @@ def test_multistate_session_restart_matches_inprocess_continuation(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_culled_npt_carry_checkpoint_is_bitwise_identical(tmp_path):
     """The culled NpT carry (incl. the live tile-pair list, slack budget,
     and barostat statistics) round-trips through the generic pytree

@@ -38,6 +38,7 @@ def state():
     return jnp.asarray(x), jnp.asarray(v), jnp.asarray(F), box
 
 
+@pytest.mark.slow
 def test_sort_build_matches_xla_oracle(state):
     x, v, F, box = state
     xs_k, vs_k, fs_k, pairs_k = sort_build_raw(
@@ -66,6 +67,7 @@ def test_sort_build_matches_xla_oracle(state):
     assert bool(pairs_o.overflowed) == bool(pairs_k.overflowed)
 
 
+@pytest.mark.slow
 def test_sort_build_slab_key_matches_xla_oracle(state):
     """The (x-slab, y) key path -- the production sort above ~6.5 reaches
     of box width -- must also match the XLA oracle exactly."""
@@ -91,6 +93,7 @@ def test_sort_build_slab_key_matches_xla_oracle(state):
     assert bool(pairs_o.overflowed) == bool(pairs_k.overflowed)
 
 
+@pytest.mark.slow
 def test_sort_build_wrapper_placement_matches(state, monkeypatch):
     """Above the VMEM limit the kernel emits the slot matrix and the
     wrapper scatters in XLA -- identical TilePairList either way."""
@@ -119,6 +122,7 @@ def test_sort_build_wrapper_placement_matches(state, monkeypatch):
     assert bool(ref[3].overflowed) == bool(alt[3].overflowed)
 
 
+@pytest.mark.slow
 def test_sort_build_flags_capacity_overflow(state):
     x, v, F, box = state
     *_, pairs = sort_build_raw(
@@ -128,6 +132,7 @@ def test_sort_build_flags_capacity_overflow(state):
     assert bool(pairs.overflowed)
 
 
+@pytest.mark.slow
 def test_culled_runner_fused_rebuild_path():
     """End-to-end culled runner with the fused Pallas rebuild forced on
     (interpret mode): finite energy, latch clean, kinetic temperature in
@@ -171,6 +176,7 @@ def test_sort_build_rejects_bad_shapes(state):
         )
 
 
+@pytest.mark.slow
 def test_fused_rebuild_rejects_cadence_params():
     """fused_rebuild sorts/rebuilds every segment; non-unit cadences must
     raise instead of being silently ignored."""

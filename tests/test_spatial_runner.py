@@ -93,6 +93,7 @@ _SCRIPT = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_spatial_runner_2dev_parity():
     out = _run_on_cpu_devices(_SCRIPT, n_devices=2, timeout=600)
     # 10 steps of rounding-level divergence stays under ~1e-6 nm
@@ -196,6 +197,7 @@ _BAND = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_spatial_band_runner_2dev():
     """Banded per-device force matches the dense oracle; a short run
     stays finite with the drift latch clean."""

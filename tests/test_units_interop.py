@@ -232,6 +232,7 @@ def test_neighbor_list_accepts_openmm_style_quantities():
     assert nbr.is_built
 
 
+@pytest.mark.slow
 def test_integrator_run_with_openmm_style_inputs_end_to_end():
     """The reference quick-start shape: build everything from openmm-style
     quantities and run dynamics (reference Examples/LJ_langevin.py)."""
