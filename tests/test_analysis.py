@@ -504,6 +504,7 @@ def test_mbar_implicit_matches_host():
     assert f_imp[0] == 0.0
 
 
+@pytest.mark.slow
 def test_mbar_implicit_grad_matches_host_fd():
     """Implicit gradient == central finite differences of the f64 host
     solver (the exactness oracle: both differentiate the same converged
@@ -532,6 +533,7 @@ def test_mbar_implicit_grad_matches_host_fd():
     assert g == pytest.approx(fd, rel=1e-3)
 
 
+@pytest.mark.slow
 def test_mbar_implicit_grad_matches_unrolled():
     """Full-matrix cotangent parity: the implicit VJP agrees with plain
     autodiff unrolled through the fixed-iteration scan solver."""
@@ -553,6 +555,7 @@ def test_mbar_implicit_grad_matches_unrolled():
     )
 
 
+@pytest.mark.slow
 def test_perturbed_jax_grad_is_target_weights():
     """For an UNSAMPLED target state, df_l/du_ln must equal the target
     state's MBAR weights W_ln (the textbook reweighting identity) --
@@ -592,6 +595,7 @@ def test_perturbed_jax_grad_is_target_weights():
     assert float(W_l.sum()) == pytest.approx(1.0, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_differentiable_free_energy_through_potential():
     """End-to-end: jax.grad flows positions -> LJ energies -> u_kn ->
     MBAR -> Delta f.  d(Delta f)/d(epsilon_ladder) matches finite
@@ -657,6 +661,7 @@ def test_differentiable_free_energy_through_potential():
         assert grad[j] == pytest.approx(fd, rel=2e-2, abs=1e-4), (j, grad, fd)
 
 
+@pytest.mark.slow
 def test_sampled_state_gradient_vs_physical_frozen_origin():
     """A sampled state's u_kn row is both target potential AND origin
     declaration, so differentiating it through the solve gives the

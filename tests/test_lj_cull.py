@@ -89,6 +89,7 @@ def test_culled_force_actually_culls(sorted_system):
     assert int(pairs.count[0, 0]) < nr * nc  # some rectangles were culled
 
 
+@pytest.mark.slow
 def test_mxu_reduce_force_matches_vpu(sorted_system):
     """The mxu_reduce=True reduction path (dot_general against ones on
     the MXU) must produce the same forces as the default VPU reductions

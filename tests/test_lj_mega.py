@@ -166,6 +166,7 @@ def test_mega_runner_end_to_end_and_latches(system):
         tight.check(st)
 
 
+@pytest.mark.slow
 def test_mega_rejects_slab_regime(system):
     """The megakernel only supports the pure-x key; a slab-key layout
     must be rejected with a clear error (simulated by forcing nslab)."""

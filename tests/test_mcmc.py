@@ -238,6 +238,7 @@ def test_displacement_move_lj_with_neighbor_list():
     assert bool(jnp.isfinite(e))
 
 
+@pytest.mark.slow
 def test_dense_pairs_scheme_mc():
     """DensePairs (fused-kernel scheme) drives MC moves incl. barostat with
     box changes flowing through the state (no rebuilds)."""

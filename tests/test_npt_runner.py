@@ -174,6 +174,7 @@ def test_culled_npt_scaled_list_matches_rebuilt_list():
         assert abs(float(U_scaled) - float(U_re)) < 1e-3, s_val
 
 
+@pytest.mark.slow
 def test_culled_npt_interval_validation():
     with pytest.raises(ValueError, match="multiple of barostat_interval"):
         _make_culled(segment=25, interval=10)
