@@ -62,7 +62,17 @@ class _StubQuantity:
         assert system is md_unit_system, (
             "adapter must resolve the quantity's OWN md_unit_system"
         )
-        return self._value * self.unit.md_factor
+        f = self.unit.md_factor
+        v = self._value
+        if isinstance(v, (list, tuple)):
+            # openmm scales sequence containers elementwise and hands the
+            # container back (list of Vec3 for positions/boxes)
+            return [
+                type(e)(*[c * f for c in e]) if isinstance(e, tuple)
+                else e * f
+                for e in v
+            ]
+        return v * f
 
 
 md_unit_system = object()  # the sentinel _openmm_md_system must find
@@ -267,3 +277,40 @@ def test_integrator_run_with_openmm_style_inputs_end_to_end():
     )
     out, _ = integ.run(ss, ts, nbr_list=nbr, number_of_steps=20)
     assert np.isfinite(np.asarray(out.positions)).all()
+
+
+def test_sampler_state_accepts_openmm_style_box_vector_list():
+    """getDefaultPeriodicBoxVectors() returns a LIST of per-row
+    quantities (reference states.py:81-95 parses it); each row here is
+    an openmm-protocol stub wrapping a length-3 vector."""
+    from chiron_tpu.states import SamplerState
+    from chiron_tpu.utils import PRNG
+
+    PRNG.set_seed(0)
+    box_rows = [
+        _StubQuantity(np.array([30.0, 0.0, 0.0]), ANGSTROM),
+        _StubQuantity(np.array([0.0, 30.0, 0.0]), ANGSTROM),
+        _StubQuantity(np.array([0.0, 0.0, 30.0]), ANGSTROM),
+    ]
+    ss = SamplerState(
+        _StubQuantity(np.zeros((4, 3)), NANOMETER),
+        current_PRNG_key=PRNG.get_random_key(),
+        box_vectors=box_rows,
+    )
+    np.testing.assert_allclose(np.asarray(ss.box_vectors), np.eye(3) * 3.0,
+                               rtol=1e-6)
+
+
+def test_from_openmm_normalizes_vec3_style_sequences():
+    """openmm positions are a Quantity wrapping a list of Vec3
+    (namedtuples): the adapter must hand back array math, not Python
+    sequence repetition."""
+    from collections import namedtuple
+
+    Vec3 = namedtuple("Vec3", ["x", "y", "z"])
+    q = units.from_openmm(
+        _StubQuantity([Vec3(1.0, 2.0, 3.0), Vec3(4.0, 5.0, 6.0)], NANOMETER)
+    )
+    v = q.value_in_unit_system(units.md_unit_system)
+    assert v.shape == (2, 3)
+    np.testing.assert_allclose(v, [[1, 2, 3], [4, 5, 6]])
