@@ -92,7 +92,13 @@ def make_baoab_step_fn(
         space = pairs.space
         cutoff_and_skin = pairs.cutoff_md + pairs.skin_md
         skin = pairs.skin_md
-        capacity = pairs.n_max_neighbors
+        # capacity is read inside step() at trace time, NOT captured here:
+        # a later build()/host-retry can regrow pairs.n_max_neighbors, and
+        # a step fn created before that build would then rebuild at the
+        # stale capacity -- a lax.cond branch-shape mismatch against the
+        # (N, K_new) carried state.  Any capacity change also changes the
+        # carried nbr_state's shape, so run_chunk retraces and the read
+        # below always sees the live value.
     elif isinstance(pairs, (PairListNsqrd, DensePairs)):
         space = pairs.space
     else:
@@ -121,7 +127,8 @@ def make_baoab_step_fn(
             nbr_state = jax.lax.cond(
                 need_rebuild,
                 lambda: neighbor_build_fn(
-                    x, carry.box_vectors, cutoff_and_skin, space, capacity
+                    x, carry.box_vectors, cutoff_and_skin, space,
+                    pairs.n_max_neighbors,
                 ),
                 lambda: nbr_state,
             )

@@ -218,17 +218,38 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
                 E = jax.vmap(e_states)(xs)  # (R, S)
                 return E * betas[None, :]
 
-        self._ukn_fn = jax.jit(ukn)
+        if any(ts.pressure is not None for ts in self._thermodynamic_states):
+            # the stacked u_kn is beta_s * E only; states with pressure need
+            # the beta*p*V term (reference states.py:275-325) -- keep the
+            # sharded PROPAGATION but compute energies through the serial
+            # reduced-potential path, which includes pV
+            self._ukn_fn = None
+            log.info(
+                "MeshMultiStateSampler: pressure set on a state; energy "
+                "matrix uses the serial reduced-potential path (includes "
+                "beta*p*V), propagation stays sharded"
+            )
+        else:
+            self._ukn_fn = jax.jit(ukn)
         log.info(
             "MeshMultiStateSampler: sharded path active (%d replicas on "
             "%d devices)", R, n_dev,
         )
 
     # -- stacked state marshalling ----------------------------------------
-    def _gather_stacked(self):
-        xs = jnp.stack(
+    def _gather_positions(self):
+        return jnp.stack(
             [jnp.asarray(s.positions) for s in self._sampler_states]
         )
+
+    def _gather_stacked(self):
+        """Positions, velocities, and FRESH per-replica subkeys.
+
+        Splits each replica's PRNG stream -- only the propagation stage may
+        call this (a read-only stage like the energy matrix must use
+        :meth:`_gather_positions`, or reproducibility would depend on how
+        often energies are computed)."""
+        xs = self._gather_positions()
         vs = []
         keys = []
         for s in self._sampler_states:
@@ -267,7 +288,15 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
         )
         need_v = any(s.velocities is None for s in self._sampler_states)
         if need_v:
-            vkeys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+            # split each replica key: [1] seeds the velocities, [0] becomes
+            # the chain key -- the chain's own first split then yields a
+            # subkey INDEPENDENT of the velocity sample.  (Drawing from
+            # split(k)[1] while also handing k to the chain would reuse the
+            # exact key the chain derives for its first O-step noise:
+            # integrators.py:210-212 documents the required independence.)
+            split2 = jax.vmap(jax.random.split)(keys)
+            vkeys = split2[:, 1]
+            keys = split2[:, 0]
             vs = draw(kTs, vkeys)
         xs, vs, keys = self._propagator(xs, vs, keys, kTs, params_r, n_steps)
         for r, s in enumerate(self._sampler_states):
@@ -284,7 +313,7 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
     def _compute_energies(self) -> None:
         if self._ukn_fn is None:
             return super()._compute_energies()
-        xs, _, _ = self._gather_stacked()
+        xs = self._gather_positions()
         betas = jnp.asarray(
             [ts.beta_md for ts in self._thermodynamic_states],
             dtype=jnp.float32,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-from ..ops.lj_dense import LJDensePallas
+from ..ops.lj_dense import LJDensePallas, _lj_tile_math
 
 
 def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
@@ -87,29 +87,16 @@ def _make_row_slab_force(n, n_pad, rows_per_dev, tm, sigma, epsilon, cutoff,
                     jnp.int32, (1, tm), 1
                 )
                 pm = rvalid & (cid < n) & (gids != cid)
-                dx = xi - xj
-                dy = yi - yj
-                dz = zi - zj
-                dx = dx - Lx * jnp.floor(dx / Lx + 0.5)
-                dy = dy - Ly * jnp.floor(dy / Ly + 0.5)
-                dz = dz - Lz * jnp.floor(dz / Lz + 0.5)
-                r2 = dx * dx + dy * dy + dz * dz
-                m = (r2 < cutoff2) & pm
-                r2s = jnp.maximum(r2, 1e-4 * sigma2)
-                # f32-exact via Newton refinement (ops/lj_cull.py
-                # scheme): two steps beat the VPU's long-latency divide
-                inv = pl.reciprocal(r2s, approx=True)
-                inv = inv * (2.0 - r2s * inv)
-                inv = inv * (2.0 - r2s * inv)
-                i2 = sigma2 * inv
-                i6 = i2 * i2 * i2
-                if with_energy:
-                    et = et + jnp.sum(
-                        jnp.where(m, eps4 * (i6 * i6 - i6), 0.0)
-                    )
-                coef = jnp.where(
-                    m, (6.0 * eps4) * (2.0 * i6 * i6 - i6) * inv, 0.0
+                # shared semantic tile math (ops/lj_dense._lj_tile_math):
+                # min-image fold, clamp, f32-exact Newton reciprocal, coef
+                coef, e, dx, dy, dz = _lj_tile_math(
+                    xi, yi, zi, xj, yj, zj,
+                    (1.0 / Lx, 1.0 / Ly, 1.0 / Lz), (Lx, Ly, Lz),
+                    sigma2, eps4, cutoff2, pm,
+                    with_energy=with_energy, approx_recip=False,
                 )
+                if with_energy:
+                    et = et + jnp.sum(e)
                 fx = fx + jnp.sum(coef * dx, axis=1, keepdims=True)
                 fy = fy + jnp.sum(coef * dy, axis=1, keepdims=True)
                 fz = fz + jnp.sum(coef * dz, axis=1, keepdims=True)
@@ -539,24 +526,12 @@ def _make_row_band_force(n, n_pad, rows_per_dev, tm, w, sigma, epsilon,
                     & (delta >= 1)
                     & ((delta <= w) | (delta >= n - w))
                 )
-                dx = xi - xj
-                dy = yi - yj
-                dz = zi - zj
-                dx = dx - Lx * jnp.floor(dx / Lx + 0.5)
-                dy = dy - Ly * jnp.floor(dy / Ly + 0.5)
-                dz = dz - Lz * jnp.floor(dz / Lz + 0.5)
-                r2 = dx * dx + dy * dy + dz * dz
-                m = (r2 < cutoff2) & pm
-                r2s = jnp.maximum(r2, 1e-4 * sigma2)
-                # f32-exact via Newton refinement (ops/lj_cull.py
-                # scheme): two steps beat the VPU's long-latency divide
-                inv = pl.reciprocal(r2s, approx=True)
-                inv = inv * (2.0 - r2s * inv)
-                inv = inv * (2.0 - r2s * inv)
-                i2 = sigma2 * inv
-                i6 = i2 * i2 * i2
-                coef = jnp.where(
-                    m, (6.0 * eps4) * (2.0 * i6 * i6 - i6) * inv, 0.0
+                # shared semantic tile math (ops/lj_dense._lj_tile_math)
+                coef, _, dx, dy, dz = _lj_tile_math(
+                    xi, yi, zi, xj, yj, zj,
+                    (1.0 / Lx, 1.0 / Ly, 1.0 / Lz), (Lx, Ly, Lz),
+                    sigma2, eps4, cutoff2, pm,
+                    with_energy=False, approx_recip=False,
                 )
                 fx = fx + jnp.sum(coef * dx, axis=1, keepdims=True)
                 fy = fy + jnp.sum(coef * dy, axis=1, keepdims=True)

@@ -73,7 +73,10 @@ def make_pt_chain_fn(
         space = pairs.space
         cutoff_and_skin = pairs.cutoff_md + pairs.skin_md
         skin = pairs.skin_md
-        capacity = pairs.n_max_neighbors
+        # capacity is read inside step() at trace time (not captured):
+        # a host-side regrow after chain creation would otherwise make
+        # the rebuild branch's shape disagree with the carried state
+        # (same fix as integrators.make_baoab_step_fn)
     elif isinstance(pairs, PairListNsqrd):
         space = pairs.space
     else:
@@ -97,7 +100,8 @@ def make_pt_chain_fn(
                 list_state = jax.lax.cond(
                     need,
                     lambda: neighbor_build_fn(
-                        x, box, cutoff_and_skin, space, capacity
+                        x, box, cutoff_and_skin, space,
+                        pairs.n_max_neighbors,
                     ),
                     lambda: list_state,
                 )
@@ -260,6 +264,15 @@ class ParallelTemperingSampler:
             self.box_vectors = None
 
         # Build per-replica list states (identical initially) on device.
+        # With no box (non-periodic space), the list states carry the SAME
+        # zeros (3, 3) box that propagate() substitutes for None -- the
+        # chain's lax.cond rebuild branch must produce a pytree identical
+        # in structure to the carried state, and non-periodic spaces
+        # ignore the box value entirely (space.py OrthogonalNonPeriodicSpace).
+        box_stack = (
+            self.box_vectors if self.box_vectors is not None
+            else jnp.zeros((R, 3, 3), dtype=jnp.float32)
+        )
         if isinstance(self.pairs, NeighborListNsqrd):
             # Size capacity on the host build (grow-retry), then rebuild
             # the stacked states with the final capacity.
@@ -268,15 +281,13 @@ class ParallelTemperingSampler:
                 x, b, self.pairs.cutoff_md + self.pairs.skin_md,
                 self.pairs.space, self.pairs.n_max_neighbors,
             )
-            self.list_state = jax.vmap(build)(
-                self.positions, self.box_vectors
-            )
+            self.list_state = jax.vmap(build)(self.positions, box_stack)
         elif isinstance(self.pairs, PairListNsqrd):
             from ..neighbors import pairlist_build_fn
 
             self.pairs.build(x0, None if box_vectors is None else box)
             self.list_state = jax.vmap(pairlist_build_fn)(
-                self.positions, self.box_vectors
+                self.positions, box_stack
             )
         else:
             self.list_state = None

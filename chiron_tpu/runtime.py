@@ -338,6 +338,17 @@ def make_band_lj_runner(
         def run(self, state: BandCarry, n_steps: int) -> BandCarry:
             return band_run_chunk(self.step_fn, state, n_steps)
 
+        def check(self, state: BandCarry):
+            """Raise if the calibrated band width overflowed mid-run --
+            the same contract as CulledRunner/StripRunner.check() (silently
+            stale bands would omit in-cutoff pairs)."""
+            if bool(state.overflowed):
+                raise RuntimeError(
+                    "band runner invariant violated (band width exceeded "
+                    "the calibrated w after a density fluctuation) -- "
+                    "increase margin and re-run"
+                )
+
         def energy(self, state: BandCarry):
             return dense.force_energy_t(state.x, state.box_diag)[1]
 

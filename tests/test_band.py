@@ -125,8 +125,14 @@ def test_band_runner_end_to_end():
     )
     st = r.run(st, 200)
     assert not bool(st.overflowed)
+    r.check(st)  # same contract as CulledRunner/StripRunner.check()
     e = float(r.energy(st))
     assert np.isfinite(e)
+    # a latched overflow must raise, like every sibling engine
+    import dataclasses as _dc
+    bad = _dc.replace(st, overflowed=jnp.asarray(True))
+    with pytest.raises(RuntimeError, match="band runner invariant"):
+        r.check(bad)
     # after 200 steps (sorted order possibly stale), the band force still
     # matches the dense oracle
     Fb = r.band.force(st.x, st.box_diag, approx_recip=False)

@@ -161,3 +161,31 @@ def test_gradient_through_trajectory_matches_finite_difference():
     fd = (float(loss(eps0 + h, sig0, x0, key))
           - float(loss(eps0 - h, sig0, x0, key))) / (2 * h)
     assert abs(fd - g) / max(abs(fd), 1e-9) < 0.05, (g, fd)
+
+
+def test_runner_step_fn_tracks_neighbor_capacity_regrowth():
+    """make_langevin_runner builds its step fn before init() builds the
+    list; when init's build regrows n_max_neighbors (the >=+10 rule),
+    the in-scan rebuild branch must use the LIVE capacity, not the one
+    captured at factory time (lax.cond branch-shape mismatch otherwise)."""
+    from chiron_tpu.neighbors import NeighborListNsqrd, OrthogonalPeriodicSpace
+    from chiron_tpu.runtime import make_langevin_runner
+    from chiron_tpu.testsystems import LennardJonesFluid
+
+    fluid = LennardJonesFluid(nparticles=200, reduced_density=0.6)
+    pairs = NeighborListNsqrd(
+        OrthogonalPeriodicSpace(), cutoff=fluid.cutoff,
+        skin=0.5 * u.nanometer, n_max_neighbors=8,  # deliberately too small
+    )
+    runner = make_langevin_runner(
+        fluid.potential, pairs=pairs, topology=fluid.topology,
+        temperature=120.0 * u.kelvin,
+    )
+    state = runner.init(
+        fluid.positions.value_in_unit_system(u.md_unit_system),
+        fluid.box_vectors.value_in_unit_system(u.md_unit_system), seed=0,
+    )
+    assert pairs.n_max_neighbors > 8  # the regrow actually happened
+    state = runner.run(state, 20)
+    assert not bool(state.overflowed)
+    assert bool(jnp.isfinite(state.x).all())

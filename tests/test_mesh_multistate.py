@@ -448,3 +448,89 @@ def test_custom_registered_potential_mbar_converges_8device():
     out = _run_on_cpu_devices(script, n_devices=8, timeout=900)
     assert out["sharded"] is True
     assert out["max_err_kT"] < 0.15, out
+
+
+def _tiny_ho_mesh_sampler(n_states=2, pressure=None):
+    """1-device in-process MeshMultiStateSampler over a tiny HO ladder."""
+    from chiron_tpu import units
+    from chiron_tpu.mcmc import (LangevinDynamicsMove, MCMCSampler,
+                                 MoveSchedule)
+    from chiron_tpu.parallel import MeshMultiStateSampler
+    from chiron_tpu.parallel.mesh import make_replica_mesh
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.states import SamplerState, ThermodynamicState
+    from chiron_tpu.testsystems import HarmonicOscillator
+    from chiron_tpu.utils import PRNG
+
+    ho = HarmonicOscillator()
+    T = 300.0 * units.kelvin
+    kT = units.BOLTZMANN_CONSTANT_kB * T * units.AVOGADRO_CONSTANT_NA
+    states = [
+        ThermodynamicState(
+            HarmonicOscillatorPotential(
+                ho.topology,
+                k=kT / units.Quantity(2.0 + 0.3 * i, units.angstrom) ** 2,
+            ),
+            temperature=T,
+            pressure=pressure,
+            volume=(1.0 * units.nanometer ** 3 if pressure is not None
+                    else None),
+        )
+        for i in range(n_states)
+    ]
+    PRNG.set_seed(3)
+    box = (
+        units.Quantity(jnp.eye(3) * 3.0, units.nanometer)
+        if pressure is not None else None  # pV needs a volume source
+    )
+    sampler_states = [
+        SamplerState(ho.positions, current_PRNG_key=PRNG.get_random_key(),
+                     box_vectors=box)
+        for _ in range(n_states)
+    ]
+    ms = MeshMultiStateSampler(
+        mcmc_sampler=MCMCSampler(MoveSchedule([
+            ("LangevinDynamicsMove", LangevinDynamicsMove(
+                timestep=2.0 * units.femtoseconds, number_of_steps=2,
+            )),
+        ])),
+        mesh=make_replica_mesh(1),
+    )
+    ms.create(states, sampler_states, [None] * n_states)
+    return ms
+
+
+def test_mesh_energy_matrix_does_not_advance_prng_streams():
+    """Computing the energy matrix is read-only: it must not split any
+    replica's PRNG key (reproducibility would otherwise depend on how
+    often energies are reported)."""
+    ms = _tiny_ho_mesh_sampler()
+    assert ms._ukn_fn is not None
+    before = [np.asarray(s._current_PRNG_key).copy()
+              for s in ms._sampler_states]
+    ms._compute_energies()
+    after = [np.asarray(s._current_PRNG_key) for s in ms._sampler_states]
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, a)
+    assert np.isfinite(np.asarray(ms._energy_thermodynamic_states)).all()
+
+
+def test_mesh_ukn_disabled_when_pressure_set():
+    """The stacked u_kn omits the beta*p*V term; states with pressure must
+    fall back to the serial reduced-potential path (which includes pV)
+    while keeping sharded propagation."""
+    from chiron_tpu import units
+
+    ms = _tiny_ho_mesh_sampler(pressure=1.0 * units.atmosphere)
+    assert ms._propagator is not None   # propagation stays sharded
+    assert ms._ukn_fn is None           # energies go through the pV path
+    ms.run(1)
+    u = np.asarray(ms._energy_thermodynamic_states)
+    assert np.isfinite(u).all()
+    # the serial path includes beta*p*V: strictly larger than beta*U alone
+    from chiron_tpu.states import calculate_reduced_potential_at_states
+
+    u_check = np.asarray(calculate_reduced_potential_at_states(
+        ms._sampler_states[0], ms._thermodynamic_states, None
+    ))
+    np.testing.assert_allclose(u[0, :], u_check, rtol=1e-5, atol=1e-5)
