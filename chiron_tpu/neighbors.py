@@ -283,20 +283,42 @@ def _box_to_md(box_vectors) -> Optional[jnp.ndarray]:
     return box_vectors
 
 
+def _distance_quantity(value, name: str, optional: bool = False):
+    """Coerce + validate a construction-boundary distance quantity.
+
+    Mirrors the reference's validation (reference neighbors.py:178-375)
+    but raises a clean TypeError for unitless input instead of tripping
+    an AttributeError on ``.unit``; openmm-style quantities are accepted
+    via :func:`units.coerce`.
+    """
+    if value is None:
+        if optional:
+            return None
+        raise TypeError(
+            f"{name} must be a unit.Quantity with units of distance, got None"
+        )
+    value = units.coerce(value)
+    if not isinstance(value, units.Quantity):
+        raise TypeError(
+            f"{name} must be a unit.Quantity with units of distance, "
+            f"got {type(value)} instead."
+        )
+    if not value.unit.is_compatible(units.nanometer):
+        raise ValueError(
+            f"{name} must be a unit.Quantity with units of distance, "
+            f"{name}.unit = {value.unit}"
+        )
+    return value
+
+
 class PairsBase:
     """Shared API of pair-discovery schemes (reference neighbors.py:178-375)."""
 
     def __init__(self, space: Space, cutoff=units.Quantity(1.2, units.nanometer)):
         if not isinstance(space, Space):
             raise TypeError(f"space must be of type Space, found {type(space)}")
-        cutoff = units.coerce(cutoff)
-        if cutoff is not None and not cutoff.unit.is_compatible(units.angstrom):
-            raise ValueError(
-                f"cutoff must be a unit.Quantity with units of distance, "
-                f"cutoff.unit = {cutoff.unit}"
-            )
         self.space = space
-        self.cutoff = cutoff
+        self.cutoff = _distance_quantity(cutoff, "cutoff", optional=True)
         self.is_built = False
 
     def build_from_state(self, sampler_state):
@@ -336,12 +358,7 @@ class NeighborListNsqrd(PairsBase):
     ):
         if not isinstance(space, Space):
             raise TypeError(f"space must be of type Space, found {type(space)}")
-        skin = units.coerce(skin)
-        if not skin.unit.is_compatible(units.angstrom):
-            raise ValueError(
-                f"cutoff must be a unit.Quantity with units of distance, "
-                f"skin.unit = {skin.unit}"
-            )
+        skin = _distance_quantity(skin, "skin")
         super().__init__(space, cutoff)
         self.skin = skin
         self.n_max_neighbors = int(n_max_neighbors)
@@ -354,13 +371,7 @@ class NeighborListNsqrd(PairsBase):
 
     @cutoff.setter
     def cutoff(self, cutoff):
-        cutoff = units.coerce(cutoff)
-        if not cutoff.unit.is_compatible(units.nanometer):
-            raise ValueError(
-                f"cutoff must be a unit.Quantity with units of distance, "
-                f"cutoff.unit = {cutoff.unit}"
-            )
-        self._cutoff = cutoff
+        self._cutoff = _distance_quantity(cutoff, "cutoff")
         self.is_built = False
 
     @property
@@ -369,13 +380,7 @@ class NeighborListNsqrd(PairsBase):
 
     @skin.setter
     def skin(self, skin):
-        skin = units.coerce(skin)
-        if not skin.unit.is_compatible(units.nanometer):
-            raise ValueError(
-                f"skin must be a unit.Quantity with units of distance, "
-                f"skin.unit = {skin.unit}"
-            )
-        self._skin = skin
+        self._skin = _distance_quantity(skin, "skin")
         self.is_built = False
 
     # -- MD-unit scalars ----------------------------------------------------
@@ -483,12 +488,7 @@ class DensePairs(PairsBase):
 
     @cutoff.setter
     def cutoff(self, cutoff):
-        if not cutoff.unit.is_compatible(units.angstrom):
-            raise ValueError(
-                f"cutoff must be a unit.Quantity with units of distance, "
-                f"cutoff.unit = {cutoff.unit}"
-            )
-        self._cutoff = cutoff
+        self._cutoff = _distance_quantity(cutoff, "cutoff")
 
     @property
     def cutoff_md(self) -> float:
@@ -567,12 +567,7 @@ class PairListNsqrd(PairsBase):
 
     @cutoff.setter
     def cutoff(self, cutoff):
-        if cutoff is not None and not cutoff.unit.is_compatible(units.angstrom):
-            raise ValueError(
-                f"cutoff must be a unit.Quantity with units of distance, "
-                f"cutoff.unit = {cutoff.unit}"
-            )
-        self._cutoff = cutoff
+        self._cutoff = _distance_quantity(cutoff, "cutoff", optional=True)
 
     @property
     def cutoff_md(self) -> Optional[float]:

@@ -134,6 +134,30 @@ def test_neighborlist_inputs():
         )
 
 
+def test_unitless_cutoff_and_skin_raise_cleanly():
+    """A bare number at the construction boundary must raise a TypeError
+    naming the argument (not an AttributeError on ``.unit``)."""
+    space = OrthogonalPeriodicSpace()
+    with pytest.raises(TypeError, match="cutoff"):
+        NeighborListNsqrd(space, cutoff=1.2, skin=0.1 * u.nanometer)
+    with pytest.raises(TypeError, match="skin"):
+        NeighborListNsqrd(space, cutoff=1.2 * u.nanometer, skin=0.1)
+    with pytest.raises(TypeError, match="cutoff"):
+        PairListNsqrd(space, cutoff=1.2)
+    # a Verlet list cannot drop its cutoff, but the pair list may
+    nbr = NeighborListNsqrd(
+        space, cutoff=1.2 * u.nanometer, skin=0.1 * u.nanometer)
+    with pytest.raises(TypeError, match="cutoff"):
+        nbr.cutoff = None
+    with pytest.raises(TypeError, match="skin"):
+        nbr.skin = 0.3
+    pl = PairListNsqrd(space, cutoff=None)
+    assert pl.cutoff is None
+    pl.cutoff = 1.0 * u.nanometer
+    pl.cutoff = None
+    assert pl.cutoff is None
+
+
 def _mesh_coordinates():
     n_xyz, scale_factor = 2, 2.0
     coord_mesh = jnp.mgrid[0:n_xyz, 0:n_xyz, 0:n_xyz] * scale_factor / n_xyz
