@@ -330,6 +330,10 @@ long xtc_encode_frame(int natoms, int step, float time, const float *box,
       int lint[3];
       for (k = 0; k < 3; k++) {
         float lf = coords[i * 3 + k] * precision;
+        /* reject non-finite and beyond-int values BEFORE the cast (a
+         * float->int conversion out of range is UB; a NaN coordinate from
+         * a diverged trajectory must fail cleanly, not corrupt the frame) */
+        if (!(lf >= -2.1e9f && lf <= 2.1e9f)) return -2;
         if (lf >= 0)
           lint[k] = (int)(lf + 0.5f);
         else
@@ -563,11 +567,15 @@ long xtc_decode_frame(const unsigned char *in, long in_len, int *natoms,
       bitsizeint[0] = bitsizeint[1] = bitsizeint[2] = 0;
     }
     smallidx = get_i32(&s);
+    /* untrusted input: an out-of-range smallidx would read past magicints,
+     * divide by zero in receiveints (magicints[<FIRSTIDX] == 0), or smash
+     * the bytes[32] scratch there (num_of_bits == smallidx) */
+    if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return -14;
     smaller = magicints[i_max(FIRSTIDX, smallidx - 1)] / 2;
     smallnum = magicints[smallidx] / 2;
     sizesmall[0] = sizesmall[1] = sizesmall[2] = (unsigned int)magicints[smallidx];
     nbytes = get_i32(&s);
-    if (s.err || s.pos + nbytes > s.len) return -11;
+    if (s.err || nbytes < 0 || s.pos + nbytes > s.len) return -11;
     bb.cbuf = s.data + s.pos;
     bb.cnt = 0;
     bb.len = nbytes;
@@ -601,6 +609,9 @@ long xtc_decode_frame(const unsigned char *in, long in_len, int *natoms,
         run -= is_smaller;
         is_smaller--;
       }
+      /* untrusted input: the run must fit in the remaining atoms, else the
+       * loop below writes past the caller's coords buffer */
+      if (i + run / 3 > lsize) return -13;
       if (run > 0) {
         for (k = 0; k < run; k += 3) {
           receiveints(&bb, 3, smallidx, sizesmall, thiscoord);
@@ -632,6 +643,9 @@ long xtc_decode_frame(const unsigned char *in, long in_len, int *natoms,
         coords[atom_out++] = thiscoord[2] * inv_precision;
       }
       smallidx += is_smaller;
+      /* corrupt streams can walk smallidx out of the table one step per
+       * atom; re-validate before it indexes magicints again */
+      if (smallidx < FIRSTIDX || smallidx >= LASTIDX) return -14;
       if (is_smaller < 0) {
         smallnum = smaller;
         if (smallidx > FIRSTIDX)

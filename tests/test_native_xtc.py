@@ -230,3 +230,93 @@ def test_dcd_bytes_match_charmm_spec(tmp_path):
         for axis in range(3):
             expected += record(pos[:, axis].tobytes())
     assert path.read_bytes() == expected
+
+
+def _decode_raw(blob: bytes, max_atoms: int):
+    """Call the C decoder directly on raw bytes; returns (rc, coords)."""
+    import ctypes as ct
+
+    from chiron_tpu.native import xtc_library
+
+    lib = xtc_library()
+    buf = np.frombuffer(bytearray(blob), dtype=np.uint8)
+    natoms, step = ct.c_int(), ct.c_int()
+    time, precision = ct.c_float(), ct.c_float()
+    box = np.empty(9, np.float32)
+    coords = np.empty(3 * max_atoms, np.float32)
+    rc = lib.xtc_decode_frame(
+        buf.ctypes.data_as(ct.POINTER(ct.c_ubyte)), buf.size,
+        ct.byref(natoms), ct.byref(step), ct.byref(time),
+        box.ctypes.data_as(ct.POINTER(ct.c_float)),
+        coords.ctypes.data_as(ct.POINTER(ct.c_float)),
+        max_atoms, ct.byref(precision),
+    )
+    return rc, coords
+
+
+def _one_compressed_frame(tmp_path, coords, name="h.xtc"):
+    from chiron_tpu.native.xtc_io import XTCWriter
+
+    path = str(tmp_path / name)
+    w = XTCWriter(path)
+    w.write(coords, np.eye(3, dtype=np.float32) * 5.0)
+    w.close()
+    with open(path, "rb") as fh:
+        return bytearray(fh.read())
+
+
+def test_xtc_encode_rejects_nonfinite(tmp_path):
+    """A NaN coordinate (diverged trajectory) must fail cleanly (code -2),
+    never hit the float->int UB cast."""
+    from chiron_tpu.native.xtc_io import XTCWriter
+
+    bad = np.random.default_rng(0).uniform(0, 5, (20, 3)).astype(np.float32)
+    bad[7, 1] = np.nan
+    w = XTCWriter(str(tmp_path / "nan.xtc"))
+    with pytest.raises(RuntimeError, match="-2"):
+        w.write(bad, np.eye(3, dtype=np.float32) * 5.0)
+    w.close()
+
+
+def test_xtc_decoder_rejects_corrupt_smallidx(tmp_path):
+    """Out-of-table smallidx (offset 84) must return -14, not index past
+    magicints / divide by zero / smash receiveints' scratch."""
+    rng = np.random.default_rng(2)
+    frame = _one_compressed_frame(
+        tmp_path, rng.uniform(0, 5, (64, 3)).astype(np.float32))
+    for corrupt in (0, 5, 100, -3):
+        blob = bytearray(frame)
+        blob[84:88] = int(corrupt & 0xFFFFFFFF).to_bytes(4, "big")
+        rc, _ = _decode_raw(bytes(blob), 64)
+        assert rc == -14, f"smallidx={corrupt}: rc={rc}"
+
+
+def test_xtc_decoder_rejects_negative_nbytes(tmp_path):
+    """A negative bitstream length (offset 88) must return -11, not make
+    the stream cursor move backwards."""
+    rng = np.random.default_rng(3)
+    frame = _one_compressed_frame(
+        tmp_path, rng.uniform(0, 5, (64, 3)).astype(np.float32))
+    blob = bytearray(frame)
+    blob[88:92] = (0xFFFFFFFF).to_bytes(4, "big")  # nbytes = -1
+    rc, _ = _decode_raw(bytes(blob), 64)
+    assert rc == -11
+
+
+def test_xtc_decoder_bounds_runs_against_lsize(tmp_path):
+    """A stream whose run-length deltas describe more atoms than its header
+    claims must return -13, not write past the caller's coords buffer."""
+    rng = np.random.default_rng(4)
+    # a tight cluster encodes long runs (each atom within smallnum of the
+    # previous); then lie about natoms in BOTH header fields
+    coords = (2.5 + 0.001 * rng.standard_normal((40, 3))).astype(np.float32)
+    frame = _one_compressed_frame(tmp_path, coords)
+    blob = bytearray(frame)
+    # this stream's run structure is 1+run(1), 1+run(0), then 1+run(8)
+    # blocks; lsize=10 puts the boundary mid-run (4 + 8 > 10)
+    lie = 10
+    blob[4:8] = lie.to_bytes(4, "big")    # header natoms
+    blob[52:56] = lie.to_bytes(4, "big")  # 3dfcoord lsize
+    canary = 40  # allocate generously; the bug wrote past 3*lie floats
+    rc, out = _decode_raw(bytes(blob), canary)
+    assert rc == -13, f"rc={rc}"
