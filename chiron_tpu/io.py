@@ -61,7 +61,14 @@ def read_pdb(path: str) -> Tuple[units.Quantity, Topology, Optional[units.Quanti
                 b = float(line[15:24])
                 c = float(line[24:33])
                 box = np.diag([a, b, c]) / 10.0  # A -> nm
+            elif rec.startswith("ENDMDL"):
+                # multi-model (NMR-style) files: read the first model only,
+                # matching openmm/mdtraj default-frame semantics -- reading
+                # on would silently concatenate every model's atoms
+                break
 
+    if not positions:
+        raise ValueError(f"{path}: no ATOM/HETATM records found")
     topology = Topology()
     for name, elem in zip(names, elements):
         try:
@@ -123,6 +130,11 @@ def read_sdf(path: str) -> Tuple[units.Quantity, Topology, list]:
         n_bonds = int(counts[3:6])
     except ValueError as e:
         raise ValueError(f"{path}: malformed V2000 counts line") from e
+    if len(lines) < 4 + n_atoms + n_bonds:
+        raise ValueError(
+            f"{path}: truncated SDF (counts line claims {n_atoms} atoms + "
+            f"{n_bonds} bonds but the file has {len(lines)} lines)"
+        )
     topology = Topology()
     positions = []
     counts_per_elem: dict = {}

@@ -43,6 +43,53 @@ def test_data_file_missing():
         get_data_file_path("nope.pdb")
 
 
+def test_pdb_multimodel_reads_first_model_only(tmp_path):
+    """ENDMDL stops the reader: multi-model NMR-style files yield the first
+    model's atoms (openmm/mdtraj default-frame semantics), not a silent
+    concatenation of every model."""
+    path = str(tmp_path / "multi.pdb")
+    with open(path, "w") as fh:
+        fh.write(
+            "MODEL     1\n"
+            "ATOM      1  Ar  UNK A   1       1.000   2.000   3.000"
+            "  1.00  0.00          Ar\n"
+            "ENDMDL\n"
+            "MODEL     2\n"
+            "ATOM      1  Ar  UNK A   1       9.000   9.000   9.000"
+            "  1.00  0.00          Ar\n"
+            "ENDMDL\n"
+            "END\n"
+        )
+    pos, topo, _ = read_pdb(path)
+    assert topo.n_atoms == 1
+    pos_nm = pos.value_in_unit_system(units.md_unit_system)
+    assert np.allclose(pos_nm, [[0.1, 0.2, 0.3]])
+
+
+def test_pdb_no_atoms_raises(tmp_path):
+    path = str(tmp_path / "empty.pdb")
+    with open(path, "w") as fh:
+        fh.write("REMARK nothing here\nEND\n")
+    with pytest.raises(ValueError, match="no ATOM/HETATM"):
+        read_pdb(path)
+
+
+def test_sdf_truncated_raises(tmp_path):
+    """A counts line claiming more atoms/bonds than the file holds is a
+    clean ValueError, not an IndexError mid-parse."""
+    from chiron_tpu.io import read_sdf
+
+    path = str(tmp_path / "trunc.sdf")
+    with open(path, "w") as fh:
+        fh.write(
+            "mol\n  gen\n\n"
+            "  9  8  0  0  0  0  0  0  0  0999 V2000\n"
+            "    0.0000    0.0000    0.0000 C   0  0\n"
+        )
+    with pytest.raises(ValueError, match="truncated SDF"):
+        read_sdf(path)
+
+
 def test_read_reference_fixtures():
     """Fixture parity: the reference's ethanol/single-particle structures
     load through the standalone readers (reference chiron/data/)."""
