@@ -302,7 +302,13 @@ long xtc_encode_frame(int natoms, int step, float time, const float *box,
   if (s.err) return -1;
 
   if (natoms <= 9) { /* tiny systems are stored uncompressed */
-    for (i = 0; i < natoms * 3; i++) put_f32(&s, coords[i]);
+    for (i = 0; i < natoms * 3; i++) {
+      float v = coords[i];
+      /* same invariant as the compressed path: a NaN/Inf coordinate from a
+       * diverged trajectory must fail cleanly, not be written to disk */
+      if (!(v >= -3.4e38f && v <= 3.4e38f)) return -2;
+      put_f32(&s, v);
+    }
     return s.err ? -1 : s.pos;
   }
 
@@ -528,7 +534,10 @@ long xtc_decode_frame(const unsigned char *in, long in_len, int *natoms,
   *time = get_f32(&s);
   for (i = 0; i < 9; i++) box[i] = get_f32(&s);
   lsize = get_i32(&s);
-  if (s.err || lsize != *natoms) return -11;
+  /* lsize <= 0 on a corrupt stream would otherwise "succeed" with zero
+   * decoded atoms (negative loop bounds), handing the caller uninitialized
+   * scratch memory */
+  if (s.err || lsize != *natoms || lsize <= 0) return -11;
   if (lsize > max_atoms) return -12;
 
   if (lsize <= 9) {
@@ -553,6 +562,11 @@ long xtc_decode_frame(const unsigned char *in, long in_len, int *natoms,
     for (k = 0; k < 3; k++) minint[k] = get_i32(&s);
     for (k = 0; k < 3; k++) maxint[k] = get_i32(&s);
     for (k = 0; k < 3; k++) sizeint[k] = maxint[k] - minint[k] + 1;
+    /* untrusted input: a zero or negative axis extent (maxint < minint on a
+     * corrupt stream) reaches an integer division by sizes[k] in receiveints
+     * -- SIGFPE, killing the process.  Every legitimate encode has
+     * maxint >= minint, so sizeint >= 1. */
+    if (sizeint[0] < 1 || sizeint[1] < 1 || sizeint[2] < 1) return -15;
     if ((unsigned int)sizeint[0] > 0xffffff || (unsigned int)sizeint[1] > 0xffffff ||
         (unsigned int)sizeint[2] > 0xffffff) {
       bitsizeint[0] = sizeofint(sizeint[0]);

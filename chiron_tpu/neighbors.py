@@ -318,8 +318,18 @@ class PairsBase:
         if not isinstance(space, Space):
             raise TypeError(f"space must be of type Space, found {type(space)}")
         self.space = space
-        self.cutoff = _distance_quantity(cutoff, "cutoff", optional=True)
+        self.cutoff = cutoff  # validated by the (possibly overridden) setter
         self.is_built = False
+
+    # -- unit-validated setter: the ONE validation point for cutoff.
+    # Subclasses override to tighten the policy (e.g. non-optional).
+    @property
+    def cutoff(self):
+        return self._cutoff
+
+    @cutoff.setter
+    def cutoff(self, cutoff):
+        self._cutoff = _distance_quantity(cutoff, "cutoff", optional=True)
 
     def build_from_state(self, sampler_state):
         """Build from a SamplerState (reference neighbors.py:310-331)."""
@@ -356,11 +366,8 @@ class NeighborListNsqrd(PairsBase):
         skin=units.Quantity(0.4, units.nanometer),
         n_max_neighbors: int = 200,
     ):
-        if not isinstance(space, Space):
-            raise TypeError(f"space must be of type Space, found {type(space)}")
-        skin = _distance_quantity(skin, "skin")
         super().__init__(space, cutoff)
-        self.skin = skin
+        self.skin = skin  # validated by the setter
         self.n_max_neighbors = int(n_max_neighbors)
         self._state: Optional[NeighborListState] = None
 
@@ -561,13 +568,7 @@ class PairListNsqrd(PairsBase):
         super().__init__(space, cutoff)
         self._state: Optional[PairListState] = None
 
-    @property
-    def cutoff(self):
-        return self._cutoff
-
-    @cutoff.setter
-    def cutoff(self, cutoff):
-        self._cutoff = _distance_quantity(cutoff, "cutoff", optional=True)
+    # cutoff property inherited from PairsBase (optional=True policy)
 
     @property
     def cutoff_md(self) -> Optional[float]:

@@ -303,6 +303,51 @@ def test_xtc_decoder_rejects_negative_nbytes(tmp_path):
     assert rc == -11
 
 
+def test_xtc_encode_rejects_nonfinite_tiny_system(tmp_path):
+    """The <=9-atom uncompressed branch must enforce the same invariant as
+    the compressed path: a NaN coordinate fails with -2, it is never
+    silently written to disk."""
+    from chiron_tpu.native.xtc_io import XTCWriter
+
+    bad = np.random.default_rng(5).uniform(0, 5, (8, 3)).astype(np.float32)
+    bad[3, 2] = np.nan
+    w = XTCWriter(str(tmp_path / "tiny_nan.xtc"))
+    with pytest.raises(RuntimeError, match="-2"):
+        w.write(bad, np.eye(3, dtype=np.float32) * 5.0)
+    w.close()
+
+
+def test_xtc_decoder_rejects_zero_width_sizeint(tmp_path):
+    """A corrupt minint/maxint pair giving a zero (or negative) axis extent
+    must return -15, not divide by zero in receiveints (SIGFPE would kill
+    the whole process, bypassing read_xtc's error handling)."""
+    rng = np.random.default_rng(6)
+    frame = _one_compressed_frame(
+        tmp_path, rng.uniform(0, 5, (64, 3)).astype(np.float32))
+    # minint at offsets 60-72, maxint at 72-84 (3 XDR ints each)
+    blob = bytearray(frame)
+    for k, v in enumerate((0, 0, 0)):
+        blob[60 + 4 * k:64 + 4 * k] = (v & 0xFFFFFFFF).to_bytes(4, "big")
+    for k, v in enumerate((0xFFFFFE, 0xFFFFFE, -1)):
+        blob[72 + 4 * k:76 + 4 * k] = (v & 0xFFFFFFFF).to_bytes(4, "big")
+    rc, _ = _decode_raw(bytes(blob), 64)
+    assert rc == -15, f"rc={rc}"
+
+
+def test_xtc_decoder_rejects_nonpositive_natoms(tmp_path):
+    """A frame claiming a negative (or zero) atom count in BOTH header
+    fields must return -11, not 'succeed' with uninitialized coords."""
+    rng = np.random.default_rng(7)
+    frame = _one_compressed_frame(
+        tmp_path, rng.uniform(0, 5, (64, 3)).astype(np.float32))
+    for lie in (-1, 0):
+        blob = bytearray(frame)
+        blob[4:8] = (lie & 0xFFFFFFFF).to_bytes(4, "big")    # header natoms
+        blob[52:56] = (lie & 0xFFFFFFFF).to_bytes(4, "big")  # 3dfcoord lsize
+        rc, _ = _decode_raw(bytes(blob), 64)
+        assert rc == -11, f"natoms={lie}: rc={rc}"
+
+
 def test_xtc_decoder_bounds_runs_against_lsize(tmp_path):
     """A stream whose run-length deltas describe more atoms than its header
     claims must return -13, not write past the caller's coords buffer."""
