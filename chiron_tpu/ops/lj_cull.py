@@ -262,6 +262,54 @@ def build_tile_pairs(
     )
 
 
+def tile_frame_scale_floor(pos3, n, tm, tn, box_diag, cutoff, slack):
+    """Minimal admissible cumulative box-scale factor for the CURRENT
+    tile layout's constant-x-frame convention (scalar f32).
+
+    ``build_tile_pairs`` validates ``hsum_x <= 0.5*Lx - reach`` at build
+    time, but under a cumulative isotropic NpT rescale by ``s`` both
+    ``hsum_x`` and ``Lx`` scale by ``s`` while ``reach`` stays fixed, so
+    the bound tightens:  ``s*hsum_x <= 0.5*s*Lx - reach``  <=>
+    ``s >= reach / (0.5*Lx - hsum_x)``.  The culled NpT runner computes
+    this floor at every rebuild and rejects volume proposals that would
+    take the cumulative scale below it (runtime.py); without it an
+    accepted shrink in the final segment of a ``run()`` could leave the
+    x-fold non-minimum-image with nothing latching.
+
+    Mirrors the kept-rect selection of :func:`build_tile_pairs` exactly;
+    kept deliberately separate so the NVT build's jaxpr (and its
+    persistent compile-cache entries) stay untouched.
+    """
+    n_pad = pos3.shape[1]
+    pad_mask = jnp.arange(n_pad) < n
+    pos3 = jnp.where(pad_mask, pos3, pos3[:, n - 1:n])
+    nr, nc = n_pad // tm, n_pad // tn
+    rcen, rhal = tile_bboxes(pos3, n, tm, box_diag)
+    ccen, chal = tile_bboxes(pos3, n, tn, box_diag)
+    L = box_diag.reshape(3, 1, 1)
+    dc = rcen[:, :, None] - ccen[:, None, :]
+    dc = dc - L * jnp.round(dc / L)
+    hsum = rhal[:, :, None] + chal[:, None, :]
+    dmin = jnp.maximum(0.0, jnp.abs(dc) - hsum)
+    reach = cutoff + slack
+    near = jnp.sum(dmin * dmin, axis=0) < reach * reach
+    ri = jnp.arange(nr)[:, None]
+    ci = jnp.arange(nc)[None, :]
+    useful = (
+        (ci * tn + (tn - 1) > ri * tm)
+        & (ri * tm < n)
+        & (ci * tn < n)
+    )
+    keep = near & useful
+    hx_max = jnp.max(jnp.where(keep, hsum[0], 0.0))
+    denom = 0.5 * box_diag[0] - hx_max
+    # denom <= 0 means the layout is already frame-invalid (shift_bad has
+    # latched at the build); +inf then rejects every shrink
+    return jnp.where(
+        denom > 0.0, reach / denom, jnp.float32(jnp.inf)
+    ).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------

@@ -104,7 +104,7 @@ def make_fast_lj_runner(
 
     if topology is None:
         topology = potential.topology
-    masses = jnp.asarray(topology.masses(), dtype=jnp.float32)[:, None]
+    masses_1d = jnp.asarray(topology.masses(), dtype=jnp.float32)
     T = units.strip_md(temperature, units.kelvin)
     kT = units.kB_MD * T
     dt = units.strip_md(timestep, units.picosecond)
@@ -128,9 +128,7 @@ def make_fast_lj_runner(
     # is the particle axis (full VPU width on every elementwise step op) and
     # the force kernel consumes it with zero copies or transposes.
     m_lane = jnp.ones((1, n_pad), dtype=jnp.float32)
-    m_lane = m_lane.at[0, :n_particles].set(
-        jnp.asarray(topology.masses(), dtype=jnp.float32)
-    )
+    m_lane = m_lane.at[0, :n_particles].set(masses_1d)
     sigma_v_lane = jnp.sqrt(kT / m_lane)
 
     def step_fn(carry: LangevinCarry, _=None):
@@ -157,7 +155,7 @@ def make_fast_lj_runner(
     runner = LangevinRunner(
         step_fn=step_fn,
         energy_fn=lambda x, s: op.energy(x, s),
-        masses=masses,
+        masses=masses_1d[:, None],
         temperature_md=T,
         pairs=None,
     )
@@ -429,12 +427,18 @@ def _culled_layout_init(md, dense, positions, box_vectors, sort_mode, n):
         jnp.asarray(box_vectors, jnp.float32)
     ).reshape(1, 3)
     Lx = float(box_diag[0, 0])
-    headroom = 0.5 * Lx - md.cutoff - md.slack
-    if headroom <= 0:
+    # minimum-image validity needs EVERY axis at least 2 reaches wide
+    # (listed pairs within cutoff+slack must have a unique nearest image);
+    # checking Lx alone would let anisotropic boxes with a thin y/z axis
+    # through with silently wrong per-pair min-image energies
+    L_min = float(np.min(np.asarray(box_diag)))
+    if 0.5 * L_min - md.cutoff - md.slack <= 0:
         raise ValueError(
-            "culled runner inapplicable: box under ~2 cutoffs "
-            "wide -- use make_fast_lj_runner instead"
+            "culled runner inapplicable: box under ~2 reaches "
+            "(cutoff+slack) wide on its narrowest axis -- use "
+            "make_fast_lj_runner instead"
         )
+    headroom = 0.5 * Lx - md.cutoff - md.slack  # x-frame bound, slab sizing
     mode = sort_mode
     if mode == "auto":
         # measured crossover (BENCH.md): the (x-slab, y) key wins
@@ -592,7 +596,12 @@ def make_culled_lj_runner(
     positions at every rebuild (sort staleness only fattens them), and the
     cumulative top-2 drift from the rebuild anchor is checked against the
     slack EVERY segment: if the list could have gone stale,
-    ``state.overflowed`` latches and ``check()`` raises.  Measured at
+    ``state.overflowed`` latches and ``check()`` raises.  (The check
+    samples positions at segment boundaries -- standard Verlet-skin
+    semantics: a violation that both appears and fully retreats WITHIN one
+    segment is not observable at the boundary.  Bound the window with
+    ``segment_steps``; at the defaults the slack is many times the RMS
+    per-segment displacement.)  Measured at
     N=4000 (BENCH.md): cadences above 1 LOSE -- the ~300 us saved per
     skipped sort is outweighed by the fatter stale-sort tile bboxes -- so
     both default to 1; the knobs remain for other regimes.
@@ -912,7 +921,8 @@ def _npt_autotune(vmax, n_acc, n_prop, interval):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["x", "v", "F", "U", "step", "box_diag", "overflowed",
-                 "pairs", "x_anchor", "scale_used", "key", "vmax_scale",
+                 "pairs", "x_anchor", "scale_used", "eval_peak", "s_total",
+                 "s_min_frame", "key", "vmax_scale",
                  "n_accepted", "n_proposed"],
     meta_fields=[],
 )
@@ -934,7 +944,16 @@ class CullNPTCarry:
     overflowed: jnp.ndarray  # () bool
     pairs: object            # TilePairList
     x_anchor: jnp.ndarray    # (3, n_pad) positions at last rebuild
-    scale_used: jnp.ndarray  # () f32 slack consumed by volume scalings
+    scale_used: jnp.ndarray  # () f32 slack consumed by ACCEPTED volume
+                             # scalings since the last rebuild
+    eval_peak: jnp.ndarray   # () f32 worst slack any box-valid proposal
+                             # EVALUATION needed (accepted or not): the
+                             # Metropolis decision itself uses U_new from
+                             # the rescaled stale list, so the drift latch
+                             # must budget for rejected shrinks too
+    s_total: jnp.ndarray     # () f32 cumulative box scale since rebuild
+    s_min_frame: jnp.ndarray  # () f32 x-frame validity floor on s_total
+                             # (ops/lj_cull.py::tile_frame_scale_floor)
     key: jnp.ndarray         # barostat PRNG key
     vmax_scale: jnp.ndarray  # () f32 barostat max relative volume change
     n_accepted: jnp.ndarray  # () i32
@@ -997,7 +1016,8 @@ def make_culled_npt_lj_runner(
     ``segment_steps``.  Volume moves leave velocities untouched
     (reference mcmc.py:972-983 semantics).
     """
-    from .ops.lj_cull import build_tile_pairs, slab_y_key, sort_by_key
+    from .ops.lj_cull import (build_tile_pairs, slab_y_key, sort_by_key,
+                              tile_frame_scale_floor)
 
     if segment_steps % barostat_interval != 0:
         raise ValueError(
@@ -1039,6 +1059,9 @@ def make_culled_npt_lj_runner(
             # and is far below the Langevin noise floor; using it avoids
             # compiling a second, NpT-only force program).
             F3, U0 = md.force_energy(x3s, box_diag[0], pairs)
+            s_floor = tile_frame_scale_floor(
+                x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack
+            )
             return CullNPTCarry(
                 x=x3s, v=v3, F=F3, U=U0,
                 step=jnp.zeros((1, 1), jnp.int32),
@@ -1047,6 +1070,9 @@ def make_culled_npt_lj_runner(
                 pairs=pairs,
                 x_anchor=x3s,
                 scale_used=jnp.float32(0.0),
+                eval_peak=jnp.float32(0.0),
+                s_total=jnp.float32(1.0),
+                s_min_frame=s_floor,
                 key=key,
                 vmax_scale=jnp.float32(volume_max_scale),
                 n_accepted=jnp.int32(0),
@@ -1069,10 +1095,19 @@ def make_culled_npt_lj_runner(
             # proposal needs a fresh pass
             U = carry.U
             F_new, U_new = md.force_energy(x_new, box_new[0], pairs_new)
-            # minimum-image/frame validity as the box shrinks (ADVICE r2)
+            # minimum-image validity as the box shrinks (ADVICE r2) AND the
+            # x-frame validity floor: the rebuild's hsum_x bound tightens
+            # under cumulative shrinking (reach does not scale with the
+            # box), so a proposal that would take s_total below the floor
+            # computed at rebuild is rejected outright -- otherwise an
+            # accepted shrink in the final segment of a run() could leave
+            # the constant-x-frame fold non-minimum-image with no following
+            # rebuild to latch it
+            s_total_new = carry.s_total * s
             box_ok = (
-                0.5 * jnp.min(box_new) - md.cutoff - md.slack
-            ) > 0.0
+                ((0.5 * jnp.min(box_new) - md.cutoff - md.slack) > 0.0)
+                & (s_total_new >= carry.s_min_frame)
+            )
             accept = _npt_accept(
                 k_acc, beta, P_md, n, U, U_new, V, V_new, box_ok
             )
@@ -1080,8 +1115,18 @@ def make_culled_npt_lj_runner(
             # a down-scaling consumes |1-s|*reach of slack (pairs beyond
             # reach move inward by at most that much); up-scalings only
             # push pairs outward and consume none
-            used = carry.scale_used + jnp.where(
-                accept, jnp.maximum(0.0, 1.0 - s) * reach, 0.0
+            charge = jnp.maximum(0.0, 1.0 - s) * reach
+            used = carry.scale_used + jnp.where(accept, charge, 0.0)
+            # the Metropolis DECISION itself used U_new from the rescaled
+            # stale list, so even a rejected box-valid shrink must count
+            # against the drift latch budget -- otherwise a rejected
+            # over-budget proposal is decided on a possibly-invalid U_new
+            # and nothing ever latches (box-invalid proposals are rejected
+            # deterministically, so their U_new never matters)
+            eval_peak = jnp.maximum(
+                carry.eval_peak,
+                jnp.where(box_ok, carry.scale_used + charge,
+                          carry.scale_used),
             )
             n_acc = carry.n_accepted + accept.astype(jnp.int32)
             n_prop = carry.n_proposed + 1
@@ -1101,6 +1146,9 @@ def make_culled_npt_lj_runner(
                 ),
                 x_anchor=sel(carry.x_anchor * s, carry.x_anchor),
                 scale_used=used,
+                eval_peak=eval_peak,
+                s_total=sel(s_total_new, carry.s_total),
+                s_min_frame=carry.s_min_frame,
                 key=key,
                 vmax_scale=vmax,
                 n_accepted=n_acc,
@@ -1129,11 +1177,17 @@ def make_culled_npt_lj_runner(
                     x3s, n, md.tm, md.tn, box_diag[0], md.cutoff,
                     md.slack, capacity=capacity,
                 )
+                s_floor = tile_frame_scale_floor(
+                    x3s, n, md.tm, md.tn, box_diag[0], md.cutoff, md.slack
+                )
                 carry = _dc_replace(
                     carry, x=x3s, v=v3, F=F3,
                     overflowed=carry.overflowed | pairs.overflowed,
                     pairs=pairs, x_anchor=x3s,
                     scale_used=jnp.float32(0.0),
+                    eval_peak=jnp.float32(0.0),
+                    s_total=jnp.float32(1.0),
+                    s_min_frame=s_floor,
                 )
                 for _k in range(n_sub):
                     carry = self._barostat_attempt(carry)
@@ -1151,8 +1205,11 @@ def make_culled_npt_lj_runner(
                         n_steps=barostat_interval, approx_recip=approx,
                         final_energy=True,
                         drift_anchor=carry.x_anchor,
+                        # budget against the WORST evaluated scaling, not
+                        # just the accepted ones: a rejected shrink's
+                        # Metropolis decision consumed slack too
                         drift_budget=(
-                            jnp.float32(md.slack) - carry.scale_used
+                            jnp.float32(md.slack) - carry.eval_peak
                         ),
                     )
                     carry = _dc_replace(
@@ -1242,9 +1299,11 @@ def make_strip_lj_runner(
     ``segment_steps`` steps the state is re-sorted and the band width
     re-checked; the whole ``run(state, n)`` is one ``lax.scan`` dispatch.
 
-    The per-segment drift check (max displacement < slack/2) and the
-    band-width check (W_needed <= H) latch into ``state.overflowed``;
-    ``check(state)`` raises if violated.
+    The per-segment drift check (top-2 joint drift from the sort anchor
+    > slack latches -- the same pairwise-sum invariant as the culled
+    runner, checked at segment boundaries) and the band-width check
+    (W_needed <= H) latch into ``state.overflowed``; ``check(state)``
+    raises if violated.
 
     NOTE: sorting permutes particle identity -- requires identical masses;
     ``positions(state)`` returns internal order.
@@ -1690,6 +1749,24 @@ def make_npt_lj_runner(
 
         def run(self, state: NPTCarry, n_steps: int) -> NPTCarry:
             return _run(state, n_steps)
+
+        def check(self, state: NPTCarry):
+            """Raise if the state has gone non-finite (same contract as
+            the culled/strip/band runners' latch check).  A NaN blow-up
+            otherwise freezes the barostat silently: the NaN guard in
+            ``_npt_accept`` rejects every proposal while autotune keeps
+            shrinking ``vmax_scale``."""
+            ok = bool(
+                jnp.isfinite(state.U)
+                & jnp.all(jnp.isfinite(state.x))
+                & jnp.all(jnp.isfinite(state.v))
+            )
+            if not ok:
+                raise RuntimeError(
+                    "dense NpT runner state is non-finite (diverged MD; "
+                    "the barostat has been rejecting every proposal) -- "
+                    "reduce the timestep and re-run"
+                )
 
         def volume(self, state: NPTCarry):
             return jnp.prod(state.box_diag)

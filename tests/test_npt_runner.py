@@ -90,11 +90,12 @@ def test_npt_mean_volume_matches_ensemble_expectation():
 from chiron_tpu.runtime import make_culled_npt_lj_runner
 
 
-def _make_culled(n=125, rho=0.1, P_atm=50.0, interval=10, segment=20, **kw):
+def _make_culled(n=125, rho=0.1, P_atm=50.0, interval=10, segment=20,
+                 temperature_K=300.0, **kw):
     fluid = LennardJonesFluid(nparticles=n, reduced_density=rho)
     r = make_culled_npt_lj_runner(
         potential=fluid.potential, n_particles=n, topology=fluid.topology,
-        temperature=300.0 * units.kelvin,
+        temperature=temperature_K * units.kelvin,
         pressure=P_atm * units.atmosphere,
         tm=8, tn=16, barostat_interval=interval, segment_steps=segment, **kw)
     # stratified-random start instead of the lattice: exact lattice
@@ -343,3 +344,80 @@ def test_culled_npt_in_kernel_drift_latch():
     assert bool(st.overflowed)
     with pytest.raises(RuntimeError, match="invariant"):
         r.check(st)
+
+
+def test_dense_npt_check_raises_on_nonfinite():
+    """The dense NpT runner has the same check() contract as the other
+    runners: a non-finite state (diverged MD; the NaN guard rejects every
+    barostat proposal, silently freezing the box) must raise."""
+    import dataclasses
+
+    r, st = _make()
+    r.check(st)  # healthy state passes
+    bad = dataclasses.replace(st, U=jnp.float32(np.nan))
+    with pytest.raises(RuntimeError, match="non-finite"):
+        r.check(bad)
+    bad_x = dataclasses.replace(
+        st, x=st.x.at[0, 0].set(jnp.float32(np.inf))
+    )
+    with pytest.raises(RuntimeError, match="non-finite"):
+        r.check(bad_x)
+
+
+def test_culled_runner_rejects_thin_axis_box():
+    """Minimum-image validity needs EVERY axis at least 2 reaches wide;
+    a thin y axis must raise at init, not silently mis-count periodic
+    images (the old check looked at Lx only)."""
+    from chiron_tpu.runtime import make_culled_lj_runner
+
+    n = 125
+    fluid = LennardJonesFluid(nparticles=n, reduced_density=0.1)
+    r = make_culled_lj_runner(
+        potential=fluid.potential, n_particles=n, topology=fluid.topology,
+        tm=8, tn=16, slack=0.2,
+    )
+    rng = np.random.default_rng(5)
+    box = np.diag([10.0, 2.0, 10.0])  # Ly=2.0 < 2*(cutoff+slack)=2.44
+    pos = rng.uniform(0, 1, (n, 3)) * np.diagonal(box)
+    with pytest.raises(ValueError, match="narrowest axis"):
+        r.init(pos, box, seed=0)
+
+
+@pytest.mark.slow
+def test_culled_npt_rejected_shrink_charges_latch_budget():
+    """The Metropolis DECISION on a volume proposal uses U_new from the
+    rescaled stale list, so a REJECTED down-scale must still count
+    against the drift-latch budget (eval_peak).  Strongly negative
+    pressure guarantees every down-scale proposal is rejected; with the
+    old accepted-only accounting nothing would ever latch."""
+    r, st = _make_culled(
+        P_atm=-5000.0, interval=5, segment=10, temperature_K=50.0,
+        slack=0.02, volume_max_scale=0.5, autotune=False,
+    )
+    st = r.run(st, 30)  # 6 proposals; >=1 down-scale w.p. 1 - 2^-6
+    assert float(st.eval_peak) > 0.02, float(st.eval_peak)
+    assert bool(st.overflowed)
+    with pytest.raises(RuntimeError, match="invariant"):
+        r.check(st)
+
+
+@pytest.mark.slow
+def test_culled_npt_frame_floor_rejects_shrinks():
+    """Volume proposals that would take the cumulative scale below the
+    x-frame validity floor (tile_frame_scale_floor) are rejected via
+    box_ok -- an accepted shrink past the floor would leave the
+    constant-x-frame fold non-minimum-image."""
+    import dataclasses
+
+    r, st = _make_culled(interval=5, segment=10, autotune=False,
+                         volume_max_scale=0.3)
+    # a healthy layout's floor is <= 1 (the build validated s_total=1)
+    assert 0.0 < float(st.s_min_frame) <= 1.0
+    # force the floor above any reachable scale: every proposal
+    # (max up-scale (1.3)^(1/3) ~ 1.09 < 2) must be rejected
+    st_hi = dataclasses.replace(st, s_min_frame=jnp.float32(2.0))
+    V0 = float(r.volume(st_hi))
+    for _ in range(6):
+        st_hi = r._barostat_attempt(st_hi)
+    assert int(st_hi.n_accepted) == 0
+    assert float(r.volume(st_hi)) == V0
