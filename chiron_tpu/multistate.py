@@ -133,6 +133,22 @@ class MultiStateSampler:
             if nbr_list is not None:
                 nbr_list.build(state.positions, state.box_vectors)
 
+        # replicas sharing a PRNG key draw bitwise-identical O-step noise
+        # and stay correlated forever (degenerate swap statistics and
+        # correlated MBAR samples) -- the natural `[SamplerState(x0,
+        # PRNGKey(0), ...)] * R` construction does exactly that
+        key_bytes = {
+            np.asarray(s._current_PRNG_key).tobytes()
+            for s in self._sampler_states
+        }
+        if len(key_bytes) < len(self._sampler_states):
+            log.warning(
+                "multiple replicas share the same PRNG key: their noise "
+                "streams will be bitwise-identical and the chains "
+                "correlated. Give each SamplerState a distinct key (e.g. "
+                "jax.random.split(PRNGKey(seed), R))."
+            )
+
         n = self.number_of_thermodynamic_states
         self._replica_thermodynamic_states = np.arange(n, dtype=int)
         self._n_accepted_matrix = np.zeros((n, n), np.int64)

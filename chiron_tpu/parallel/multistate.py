@@ -263,7 +263,21 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
     # -- overridden stages -------------------------------------------------
     def _propagate_replicas(self) -> None:
         if self._propagator is None:
-            return super()._propagate_replicas()
+            # Serial fallback with the SAME per-iteration sampling as the
+            # sharded path: one move-schedule sweep (number_of_moves steps)
+            # per outer iteration.  Deliberate deviation from the base
+            # class's reference-parity quirk, where ``n_iterations`` doubles
+            # as the per-move sweep count (reference multistate.py:442+579,
+            # quadratic in n_iterations) -- the two paths of THIS class must
+            # sample identically or an R != n_devices ladder would silently
+            # get a different amount of decorrelation than an R == n_devices
+            # one.
+            saved = self.number_of_iterations
+            self.number_of_iterations = 1
+            try:
+                return super()._propagate_replicas()
+            finally:
+                self.number_of_iterations = saved
         xs, vs, keys = self._gather_stacked()
         move = self._langevin_only_move()
         n_steps = move.number_of_moves
@@ -286,8 +300,10 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
                 key, xs.shape[1:]
             )
         )
-        need_v = any(s.velocities is None for s in self._sampler_states)
-        if need_v:
+        missing_v = np.asarray(
+            [s.velocities is None for s in self._sampler_states]
+        )
+        if missing_v.any():
             # split each replica key: [1] seeds the velocities, [0] becomes
             # the chain key -- the chain's own first split then yields a
             # subkey INDEPENDENT of the velocity sample.  (Drawing from
@@ -297,7 +313,11 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
             split2 = jax.vmap(jax.random.split)(keys)
             vkeys = split2[:, 1]
             keys = split2[:, 0]
-            vs = draw(kTs, vkeys)
+            # redraw ONLY the replicas that lack velocities -- overwriting
+            # supplied ones would break chain continuity for the others
+            vs = jnp.where(
+                jnp.asarray(missing_v)[:, None, None], draw(kTs, vkeys), vs
+            )
         xs, vs, keys = self._propagator(xs, vs, keys, kTs, params_r, n_steps)
         for r, s in enumerate(self._sampler_states):
             s.positions = xs[r]
@@ -305,10 +325,24 @@ class MeshMultiStateSampler(ReplicaExchangeSampler):
             s._current_PRNG_key = keys[r]
             self._traj[r].append(s.positions)
         for sid in perm:
-            # bookkeeping parity with the serial path
-            self._mcmc_sampler[sid].move.move_schedule[0][
-                1
-            ]._number_of_attempts_made += n_steps
+            # bookkeeping parity with the serial fallback (one sweep of
+            # number_of_moves steps per outer iteration)
+            mv = self._mcmc_sampler[sid].move.move_schedule[0][1]
+            mv._number_of_attempts_made += n_steps
+            mv._move_iteration += 1
+        if self._ukn_fn is None:
+            # the serial energy-matrix fallback consumes the host neighbor
+            # lists (calculate_reduced_potential_at_states), which nothing
+            # on the sharded propagation path maintains -- refresh any that
+            # have gone stale so u_kn never uses create()-time pair indices
+            for r, s in enumerate(self._sampler_states):
+                nl = self._nbr_lists[r]
+                if (
+                    nl is not None
+                    and getattr(nl, "is_built", False)
+                    and bool(nl.check(jnp.asarray(s.positions)))
+                ):
+                    nl.build(s.positions, s.box_vectors)
 
     def _compute_energies(self) -> None:
         if self._ukn_fn is None:

@@ -465,13 +465,18 @@ class ParallelTemperingSampler:
         self.kTs = jnp.asarray(kTs)
 
     # -- driver ---------------------------------------------------------------
-    def run(self, n_iterations: int, steps_per_iteration: int = 100, seed: int = 0):
+    def run(self, n_iterations: int, steps_per_iteration: int = 100,
+            seed=None):
         """PT loop: propagate (sharded) -> record energies -> swap.
 
         The swap RNG stream is derived per (seed, iteration), so a session
         restored from :meth:`save_session` continues bit-compatibly with
-        the uninterrupted run.
+        the uninterrupted run.  ``seed=None`` (default) keeps the current
+        swap seed -- in particular the one :meth:`load_session` restored;
+        passing a seed explicitly overrides it (it would otherwise silently
+        break the bit-compatible-resume contract).
         """
+        seed = self._swap_seed if seed is None else seed
         self._swap_seed = seed
         for _ in range(n_iterations):
             self._iteration += 1
@@ -622,10 +627,17 @@ class ParallelTemperingSampler:
         """
         n_total = len(self._u_history)
         start = int(n_total * discard_fraction)
-        Us = np.concatenate([u for u in self._u_history[start:]])
+        kept = self._u_history[start:]
+        if not kept:
+            raise ValueError(
+                f"no PT samples to analyze: {n_total} recorded iterations, "
+                f"discard_fraction={discard_fraction} leaves zero -- call "
+                "run() first or lower the fraction"
+            )
+        Us = np.concatenate(kept)
         betas_ladder = 1.0 / (np.sort(self.temps_md) * units.kB_MD)
         u_kn = betas_ladder[:, None] * Us[None, :]
-        n_samples_per_temp = len(self._u_history[start:])
+        n_samples_per_temp = len(kept)
         N_k = np.full(self.n_replicas, n_samples_per_temp)
         # columns are iteration-major (n = t*R + r) and swap-mixed: tell
         # the estimator so bootstrap resamples iterations, not origin

@@ -163,6 +163,22 @@ class Quantity:
     def __len__(self):
         return len(self._value)
 
+    # -- conversion guards ---------------------------------------------------
+    # Quantity exposes __len__ + __getitem__, so np.asarray / jnp.asarray
+    # would otherwise fall back to the SEQUENCE protocol: element-wise
+    # recursive conversion that yields a useless object array at best and,
+    # for a jax-backed value, dispatches one tiny gather per element and
+    # effectively hangs with unbounded memory.  Fail fast with guidance
+    # instead -- stripping units is an explicit construction-boundary act.
+    def __array__(self, dtype=None, copy=None):
+        raise TypeError(
+            f"cannot implicitly convert a unit-bearing Quantity "
+            f"({self.unit}) to a bare array; strip units explicitly, "
+            "e.g. q.value_in_unit_system(md_unit_system)"
+        )
+
+    __jax_array__ = __array__
+
     def __bool__(self):
         return bool(_np.any(self._value))
 

@@ -534,3 +534,124 @@ def test_mesh_ukn_disabled_when_pressure_set():
         ms._sampler_states[0], ms._thermodynamic_states, None
     ))
     np.testing.assert_allclose(u[0, :], u_check, rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_serial_fallback_samples_like_the_sharded_path():
+    """The serial fallback must do the SAME amount of sampling per outer
+    iteration as the sharded path (one number_of_moves sweep) -- a
+    deliberate deviation from the base class's reference-parity quirk
+    where n_iterations doubles as the per-move sweep count.  Without it an
+    unshardable ladder silently gets n_iterations x more decorrelation."""
+    ms_sharded = _tiny_ho_mesh_sampler()
+    assert ms_sharded._propagator is not None
+    ms_sharded.run(3)
+
+    ms_serial = _tiny_ho_mesh_sampler()
+    ms_serial._propagator = None  # force the fallback path
+    ms_serial.run(3)
+
+    def attempts(ms):
+        return [
+            ms._mcmc_sampler[s].move.move_schedule[0][1]
+            ._number_of_attempts_made
+            for s in range(len(ms._thermodynamic_states))
+        ]
+
+    # 3 iterations x number_of_steps=2 -> 6 attempts per state, BOTH paths
+    assert attempts(ms_sharded) == [6, 6]
+    assert attempts(ms_serial) == [6, 6]
+
+
+def test_mesh_supplied_velocities_preserved_per_replica():
+    """Only replicas lacking velocities get a fresh Maxwell-Boltzmann
+    draw; supplied velocities on other replicas must survive.  Two
+    IDENTICAL states with the SAME PRNG key diverge after propagation iff
+    replica 0's supplied velocities were kept (the old any()-gated redraw
+    overwrote both with identical draws)."""
+    import jax
+
+    from chiron_tpu import units
+    from chiron_tpu.mcmc import (LangevinDynamicsMove, MCMCSampler,
+                                 MoveSchedule)
+    from chiron_tpu.parallel import MeshMultiStateSampler
+    from chiron_tpu.parallel.mesh import make_replica_mesh
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.states import SamplerState, ThermodynamicState
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    ho = HarmonicOscillator()
+    T = 300.0 * units.kelvin
+    kT = units.BOLTZMANN_CONSTANT_kB * T * units.AVOGADRO_CONSTANT_NA
+    k = kT / units.Quantity(2.0, units.angstrom) ** 2
+    states = [
+        ThermodynamicState(
+            HarmonicOscillatorPotential(ho.topology, k=k), temperature=T
+        )
+        for _ in range(2)
+    ]
+    key = jax.random.PRNGKey(0)
+    s0 = SamplerState(ho.positions, current_PRNG_key=key)
+    s0.velocities = jnp.full_like(jnp.asarray(s0.positions), 0.37)
+    s1 = SamplerState(ho.positions, current_PRNG_key=key)
+    assert s1.velocities is None
+    ms = MeshMultiStateSampler(
+        mcmc_sampler=MCMCSampler(MoveSchedule([
+            ("LangevinDynamicsMove", LangevinDynamicsMove(
+                timestep=2.0 * units.femtoseconds, number_of_steps=2,
+            )),
+        ])),
+        mesh=make_replica_mesh(1),
+    )
+    ms.create(states, [s0, s1], [None, None])
+    ms._propagate_replicas()
+    x0 = np.asarray(ms._sampler_states[0].positions)
+    x1 = np.asarray(ms._sampler_states[1].positions)
+    v1 = np.asarray(ms._sampler_states[1].velocities)
+    assert np.isfinite(x0).all() and np.isfinite(v1).all()
+    # identical keys + identical states: trajectories can differ only
+    # through the initial velocities -- preserved for 0, drawn for 1
+    assert not np.allclose(x0, x1)
+
+
+def test_multistate_create_warns_on_duplicate_prng_keys(caplog):
+    """Replicas sharing a PRNG key draw bitwise-identical noise; create()
+    must warn (the natural [SamplerState(x, PRNGKey(0))] * R construction
+    does exactly that)."""
+    import logging
+
+    import jax
+
+    from chiron_tpu import units
+    from chiron_tpu.mcmc import (LangevinDynamicsMove, MCMCSampler,
+                                 MoveSchedule)
+    from chiron_tpu.multistate import MultiStateSampler
+    from chiron_tpu.potential import HarmonicOscillatorPotential
+    from chiron_tpu.states import SamplerState, ThermodynamicState
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    ho = HarmonicOscillator()
+    T = 300.0 * units.kelvin
+    kT = units.BOLTZMANN_CONSTANT_kB * T * units.AVOGADRO_CONSTANT_NA
+    states = [
+        ThermodynamicState(
+            HarmonicOscillatorPotential(
+                ho.topology,
+                k=kT / units.Quantity(2.0 + 0.3 * i, units.angstrom) ** 2,
+            ),
+            temperature=T,
+        )
+        for i in range(2)
+    ]
+    key = jax.random.PRNGKey(7)
+    dup = [SamplerState(ho.positions, current_PRNG_key=key)
+           for _ in range(2)]
+    ms = MultiStateSampler(
+        mcmc_sampler=MCMCSampler(MoveSchedule([
+            ("LangevinDynamicsMove", LangevinDynamicsMove(
+                timestep=2.0 * units.femtoseconds, number_of_steps=2,
+            )),
+        ])),
+    )
+    with caplog.at_level(logging.WARNING, logger="chiron_tpu"):
+        ms.create(states, dup, [None, None])
+    assert any("same PRNG key" in r.message for r in caplog.records)

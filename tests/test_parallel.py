@@ -260,3 +260,25 @@ def test_parallel_tempering_on_8_virtual_devices():
     assert out["swap_acceptance"] > 0.2, out
     # MBAR free energies match the analytic ladder
     assert out["max_err"] < 0.15, out
+
+
+def test_pt_compute_free_energies_empty_history_raises():
+    """compute_free_energies before any run() (or with a discard fraction
+    that leaves zero iterations) must raise a clear error, not crash in
+    np.concatenate."""
+    import pytest
+
+    from chiron_tpu import units
+    from chiron_tpu.parallel import ParallelTemperingSampler, make_replica_mesh
+    from chiron_tpu.testsystems import HarmonicOscillator
+
+    ho = HarmonicOscillator()
+    pt = ParallelTemperingSampler(
+        potential=ho.potential,
+        temperatures=[300.0 * units.kelvin, 360.0 * units.kelvin],
+        timestep=2.0 * units.femtoseconds,
+        mesh=make_replica_mesh(1),
+    )
+    pt.initialize(ho.positions, seed=1)
+    with pytest.raises(ValueError, match="no PT samples"):
+        pt.compute_free_energies()

@@ -175,7 +175,9 @@ def test_pt_session_restart_is_bitwise_identical(tmp_path):
     b = make()
     b.load_session(path)
     assert b._iteration == 3
-    b.run(3, steps_per_iteration=25, seed=11)
+    # resume WITHOUT re-passing the seed: run(seed=None) must use the
+    # restored swap seed (11) or the swap stream silently diverges
+    b.run(3, steps_per_iteration=25)
 
     assert b._iteration == ref._iteration
     assert b.n_proposed_swaps == ref.n_proposed_swaps

@@ -116,3 +116,23 @@ def test_misc_util_parity():
 
     with _pytest.raises(NotImplementedError):
         top.get_water_molecules()
+
+
+def test_quantity_rejects_implicit_array_conversion():
+    """np.asarray / jnp.asarray on a Quantity must fail fast with guidance.
+    Quantity is a sequence (__len__ + __getitem__), so the fallback
+    element-wise conversion would yield an object array at best and, for a
+    jax-backed value, dispatch one gather per element -- effectively a hang
+    with unbounded memory."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from chiron_tpu import units
+
+    for backing in (np.ones((2, 3)), jnp.ones((2, 3))):
+        q = units.Quantity(backing, units.nanometer)
+        with pytest.raises(TypeError, match="value_in_unit_system"):
+            np.asarray(q)
+        with pytest.raises(TypeError, match="value_in_unit_system"):
+            jnp.asarray(q)
