@@ -40,14 +40,11 @@ import numpy as np
 log = logging.getLogger("chiron_tpu")
 
 
-def _logsumexp(a: np.ndarray, axis=None, b: Optional[np.ndarray] = None):
+def _logsumexp(a: np.ndarray, axis=None):
     a = np.asarray(a, dtype=np.float64)
     a_max = np.max(a, axis=axis, keepdims=True)
     a_max = np.where(np.isfinite(a_max), a_max, 0.0)
-    if b is not None:
-        s = np.sum(b * np.exp(a - a_max), axis=axis, keepdims=True)
-    else:
-        s = np.sum(np.exp(a - a_max), axis=axis, keepdims=True)
+    s = np.sum(np.exp(a - a_max), axis=axis, keepdims=True)
     out = np.log(s) + a_max
     if axis is not None:
         out = np.squeeze(out, axis=axis)
@@ -362,7 +359,10 @@ def mbar_solve_jax(
     """
     u_kn = jnp.asarray(u_kn)
     N_k = jnp.asarray(N_k, dtype=u_kn.dtype)
-    log_N_k = jnp.log(jnp.maximum(N_k, 1e-30))
+    # -inf (not log(tiny)) for zero-count states, matching the host
+    # _log_mixture_denominator: log(1e-30) ~ -69 still leaks weight into
+    # the denominator when f_j - u_jn is large for an unsampled state
+    log_N_k = jnp.where(N_k > 0, jnp.log(jnp.maximum(N_k, 1.0)), -jnp.inf)
 
     def body(f_k, _):
         log_denom = jax.nn.logsumexp(
@@ -398,6 +398,8 @@ def _mbar_sc_newton_jax(u_kn, log_N_k, N_k, n_sc: int, n_newton: int):
 
     f_k, _ = jax.lax.scan(sc_body, jnp.zeros(K, u_kn.dtype), length=n_sc)
 
+    sampled = N_k > 0
+
     def newton_body(f_k, _):
         log_denom = _mbar_log_denominator_jax(u_kn, log_N_k, f_k)
         W = jnp.exp(f_k[:, None] - u_kn - log_denom[None, :])
@@ -407,12 +409,27 @@ def _mbar_sc_newton_jax(u_kn, log_N_k, N_k, n_sc: int, n_newton: int):
         H = jnp.fill_diagonal(
             H, (NW * (1.0 - NW)).sum(axis=1), inplace=False
         )
+        # zero-count states do not appear in the MBAR likelihood: their
+        # gradient/Hessian rows are identically zero, which makes
+        # H[1:, 1:] singular and jnp.linalg.solve silently return NaN.
+        # Decouple them (unit diagonal, zero gradient -> df = 0); their
+        # f is set by explicit reweighting after the polish.
+        mask2 = sampled[:, None] & sampled[None, :]
+        H = jnp.where(mask2, H, 0.0)
+        H = jnp.fill_diagonal(
+            H, jnp.where(sampled, jnp.diagonal(H), 1.0), inplace=False
+        )
+        g = jnp.where(sampled, g, 0.0)
         df = jnp.linalg.solve(H[1:, 1:], g[1:])
         f_k = f_k.at[1:].add(df)
         return f_k - f_k[0], None
 
     f_k, _ = jax.lax.scan(newton_body, f_k, length=n_newton)
-    return f_k
+    # zero-count states: one reweighting step against the polished sampled
+    # f (the SC map's exact value for states absent from the denominator)
+    log_denom = _mbar_log_denominator_jax(u_kn, log_N_k, f_k)
+    F = -jax.nn.logsumexp(-u_kn - log_denom[None, :], axis=1)
+    return jnp.where(sampled, f_k, F - F[0])
 
 
 def mbar_solve_implicit(
@@ -630,9 +647,10 @@ def statistical_inefficiency(A_t: np.ndarray, mintime: int = 3) -> float:
 def detect_equilibration(A_t: np.ndarray, nskip: int = 1):
     """Choose the production-region start that maximizes N_eff.
 
-    pymbar's ``detect_equilibration``: for each candidate start t0,
-    compute g of A[t0:] and pick the t0 maximizing
-    (T - t0) / g.  Returns ``(t0, g, N_eff)``.
+    pymbar's ``detect_equilibration``: for each candidate start t0 in
+    [0, T-2], compute g of A[t0:] and pick the t0 maximizing
+    (T - t0 + 1) / g (pymbar's exact N_eff formula, +1 included).
+    Returns ``(t0, g, N_eff)``.
 
     ``nskip`` spaces the candidate starts; the default 1 is pymbar's
     exhaustive scan (every t0 considered), so default-argument results
@@ -646,9 +664,9 @@ def detect_equilibration(A_t: np.ndarray, nskip: int = 1):
     if T < 3:
         return 0, 1.0, float(T)
     best = (0, 1.0, 0.0)
-    for t0 in range(0, T - 2, nskip):
+    for t0 in range(0, T - 1, nskip):
         g = statistical_inefficiency(A_t[t0:])
-        n_eff = (T - t0) / g
+        n_eff = (T - t0 + 1) / g
         if n_eff > best[2]:
             best = (t0, g, n_eff)
     return best

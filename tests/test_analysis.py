@@ -706,3 +706,78 @@ def test_sampled_state_gradient_vs_physical_frozen_origin():
     assert g_phys == pytest.approx(0.5, abs=0.03)
     # and the estimator's own sensitivity is a DIFFERENT object
     assert g_est > 0.6, (g_est, g_phys)
+
+
+def test_mbar_solve_jax_zero_count_state_matches_host_reweighting():
+    """A zero-count (perturbed) state must be EXCLUDED from the mixture
+    denominator (-inf masking, not log(tiny)) and its f must equal the
+    host reweighting value."""
+    from chiron_tpu.analysis import mbar_perturbed_free_energies
+
+    Ks = [1.0, 4.0]
+    rng = np.random.default_rng(2)
+    n = 2000
+    xs = np.concatenate(
+        [rng.normal(0, 1 / np.sqrt(K), size=n) for K in Ks]
+    )
+    u_kn = 0.5 * np.asarray(Ks)[:, None] * xs[None, :] ** 2
+    u_aug = np.vstack([u_kn, 0.5 * 9.0 * xs[None, :] ** 2])  # K=9 target
+    N_aug = np.array([n, n, 0])
+
+    f_host = mbar_solve(u_kn, np.array([n, n]))
+    f_target, _ = mbar_perturbed_free_energies(
+        u_kn, np.array([n, n]), f_host, u_aug[2:3]
+    )
+    f_jax = np.asarray(mbar_solve_jax(u_aug.astype(np.float32), N_aug))
+    assert np.isfinite(f_jax).all()
+    assert np.allclose(f_jax[:2], f_host, atol=5e-3)
+    assert f_jax[2] == pytest.approx(float(f_target[0]), abs=5e-3)
+
+
+def test_mbar_solve_implicit_zero_count_state_is_finite_and_correct():
+    """The Newton polish must not go NaN when N_k contains a zero
+    (singular Hessian row); the zero-count state's f comes from
+    reweighting and gradients still flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from chiron_tpu.analysis import (mbar_perturbed_free_energies,
+                                     mbar_solve_implicit)
+
+    Ks = [1.0, 4.0]
+    rng = np.random.default_rng(3)
+    n = 2000
+    xs = np.concatenate(
+        [rng.normal(0, 1 / np.sqrt(K), size=n) for K in Ks]
+    )
+    u_kn = 0.5 * np.asarray(Ks)[:, None] * xs[None, :] ** 2
+    u_aug = jnp.asarray(
+        np.vstack([u_kn, 0.5 * 9.0 * xs[None, :] ** 2]), jnp.float32
+    )
+    N_aug = jnp.asarray([n, n, 0], jnp.float32)
+
+    f = np.asarray(mbar_solve_implicit(u_aug, N_aug))
+    assert np.isfinite(f).all()
+    f_host = mbar_solve(u_kn, np.array([n, n]))
+    f_target, _ = mbar_perturbed_free_energies(
+        u_kn, np.array([n, n]), f_host, np.asarray(u_aug)[2:3]
+    )
+    assert np.allclose(f[:2], f_host, atol=5e-3)
+    assert f[2] == pytest.approx(float(f_target[0]), abs=5e-3)
+    # gradient of the perturbed state's f is finite
+    g = jax.grad(lambda u: mbar_solve_implicit(u, N_aug)[2])(u_aug)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_detect_equilibration_uses_pymbar_neff_formula():
+    """The returned N_eff must be (T - t0 + 1)/g -- pymbar's exact
+    formula -- and the scan must include t0 = T - 2."""
+    from chiron_tpu.analysis import (detect_equilibration,
+                                     statistical_inefficiency)
+
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=120)
+    t0, g, n_eff = detect_equilibration(A)
+    assert n_eff == pytest.approx((A.size - t0 + 1) / g)
+    g_check = statistical_inefficiency(A[t0:])
+    assert g == pytest.approx(g_check)

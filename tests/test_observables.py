@@ -155,3 +155,47 @@ def test_vacf_of_independent_noise_decays():
     c = np.asarray(velocity_autocorrelation(v))
     assert abs(c[0] - 1.0) < 1e-6
     assert np.all(np.abs(c[1:10]) < 0.05)
+
+
+def test_msd_translation_invariance():
+    """MSD must not change when the whole trajectory is offset far from
+    the origin (the f32 S1 - 2*S2 FFT form cancels catastrophically
+    without per-particle centering)."""
+    from chiron_tpu.observables import mean_squared_displacement
+
+    rng = np.random.default_rng(5)
+    steps = rng.normal(0, 0.05, size=(40, 5, 3))
+    traj = np.cumsum(steps, axis=0)
+    msd0 = np.asarray(mean_squared_displacement(traj))
+    msd_off = np.asarray(mean_squared_displacement(traj + 50.0))
+    np.testing.assert_allclose(msd_off[1:], msd0[1:], rtol=1e-4)
+
+
+def test_mbar_expectation_2d_respects_estimator_layout():
+    """A 2D (iterations, replicas) observable array must be flattened in
+    the estimator's column order, not blind C-order."""
+    import pytest
+
+    from chiron_tpu.analysis import MBAREstimator
+    from chiron_tpu.observables import mbar_expectation
+
+    rng = np.random.default_rng(6)
+    T, R = 50, 2
+    # replica-major columns (n = r*T + t), the 3D reporter layout
+    xs_r = rng.normal(0, 1, size=(R, T))             # per-replica series
+    xs_flat = xs_r.reshape(-1)                       # n = r*T + t
+    u_kn = 0.5 * np.asarray([1.0, 1.0])[:, None] * xs_flat[None, :] ** 2
+    est = MBAREstimator()
+    est.initialize(u_kn, np.array([T, T]), iteration_layout=(T, R))
+
+    a_tr = xs_r.T                                    # natural (T, R) array
+    got = mbar_expectation(est, a_tr ** 2, state_index=0)
+    want = est.compute_expectation(xs_flat ** 2, state_index=0)
+    assert got == pytest.approx(want, abs=1e-12)
+
+    with pytest.raises(ValueError, match="iterations, replicas"):
+        mbar_expectation(est, np.zeros((R, T + 1)))
+    est2 = MBAREstimator()
+    est2.initialize(u_kn, np.array([T, T]))
+    with pytest.raises(ValueError, match="iteration layout"):
+        mbar_expectation(est2, np.zeros((T, R)))
