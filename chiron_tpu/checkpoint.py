@@ -15,20 +15,12 @@ keeps restarts trivially portable.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
-    flat = {}
-    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
-    for path, leaf in leaves_with_paths:
-        key = "/".join(str(p) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
 
 
 def save_checkpoint(
@@ -37,6 +29,13 @@ def save_checkpoint(
     metadata: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Save an arbitrary pytree of arrays plus JSON metadata to ``path``.
+
+    The write is ATOMIC (temp file + ``os.replace``): a crash mid-save --
+    the exact moment periodic checkpointing exists for -- never destroys
+    the previous good checkpoint at the same path.  The path is used
+    verbatim (``np.savez``'s silent ``.npz`` suffix append is bypassed by
+    writing through a file object), so any path round-trips with
+    :func:`load_checkpoint`.
 
     Examples
     --------
@@ -53,7 +52,10 @@ def save_checkpoint(
     arrays["__header__"] = np.frombuffer(
         json.dumps(header).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(
@@ -86,12 +88,59 @@ def load_checkpoint(
                 f"Checkpoint has {len(leaves)} leaves but the template "
                 f"pytree has {treedef.num_leaves}"
             )
+        # leaf COUNT alone cannot detect a structurally different template
+        # (e.g. velocities-but-no-box loaded into box-but-no-velocities:
+        # both 3 leaves, silently permuted state) -- compare the stored
+        # structure too
+        saved_treedef = header.get("treedef")
+        if saved_treedef is not None and saved_treedef != str(treedef):
+            raise ValueError(
+                "Checkpoint pytree structure does not match the template:\n"
+                f"  saved:    {saved_treedef}\n"
+                f"  template: {treedef}"
+            )
         return jax.tree_util.tree_unflatten(treedef, leaves), metadata
     return leaves, metadata
 
 
-def save_sampler_checkpoint(path, sampler_state, iteration=0, extra=None):
-    """Convenience wrapper: persist a SamplerState(+counters) for restart."""
+def _move_state(move) -> dict:
+    """JSON-serializable restart state of an MCMC move: acceptance
+    statistics, the autotuned parameter, and the attempt counters."""
+    state = {
+        "attempts": int(getattr(move, "_number_of_attempts_made", 0)),
+        "move_iteration": int(getattr(move, "_move_iteration", 0)),
+    }
+    stats = getattr(move, "statistics", None)
+    if isinstance(stats, dict):
+        state["statistics"] = {k: int(v) for k, v in stats.items()}
+    try:
+        state["param"] = float(move._param_value())
+    except (AttributeError, NotImplementedError):
+        pass
+    return state
+
+
+def _restore_move_state(move, state: dict) -> None:
+    move._number_of_attempts_made = int(state.get("attempts", 0))
+    move._move_iteration = int(state.get("move_iteration", 0))
+    if "statistics" in state and hasattr(move, "statistics"):
+        move.statistics = {
+            k: int(v) for k, v in state["statistics"].items()
+        }
+    if "param" in state and hasattr(move, "_set_param_value"):
+        move._set_param_value(float(state["param"]))
+
+
+def save_sampler_checkpoint(path, sampler_state, iteration=0, extra=None,
+                            moves=None):
+    """Convenience wrapper: persist a SamplerState(+counters) for restart.
+
+    ``moves`` (optional) is a ``{name: move}`` mapping (e.g. built from a
+    MoveSchedule): each move's acceptance statistics, autotuned parameter
+    (displacement sigma / volume scale), and attempt counters are stored
+    in the metadata so a restart resumes the chain's tuning instead of
+    silently resetting it (pass the same mapping to
+    :func:`load_sampler_checkpoint`)."""
     data = sampler_state.as_data()
     meta = {
         "iteration": int(iteration),
@@ -104,13 +153,19 @@ def save_sampler_checkpoint(path, sampler_state, iteration=0, extra=None):
             "box_vectors": data.box_vectors is not None,
         },
     }
+    if moves:
+        meta["moves"] = {name: _move_state(m) for name, m in moves.items()}
     if extra:
         meta.update(extra)
     save_checkpoint(path, data, metadata=meta)
 
 
-def load_sampler_checkpoint(path, sampler_state):
+def load_sampler_checkpoint(path, sampler_state, moves=None):
     """Restore a SamplerState in place from a checkpoint; returns metadata.
+
+    Pass the same ``{name: move}`` mapping given to
+    :func:`save_sampler_checkpoint` to also restore each move's
+    acceptance statistics, autotuned parameter, and attempt counters.
 
     The template's optional fields (velocities, box vectors) are densified
     to match the checkpoint's recorded field-presence header, so leaves are
@@ -156,6 +211,11 @@ def load_sampler_checkpoint(path, sampler_state):
                 )
     data, meta = load_checkpoint(path, like=data_like)
     sampler_state.update_from_data(data)
+    if moves:
+        saved_moves = meta.get("moves", {})
+        for name, move in moves.items():
+            if name in saved_moves:
+                _restore_move_state(move, saved_moves[name])
     return meta
 
 

@@ -31,6 +31,7 @@ from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import units
 from .neighbors import (
@@ -406,6 +407,7 @@ class MCMove(MCMCMove):
         self.autotune_interval = autotune_interval
         self.reset_statistics()
         self._step_cache = {}
+        self._chain_volume = None  # box volume of the last chain (nm^3)
 
     # -- statistics (reference mcmc.py:465-486) -----------------------------
     def _update_statistics(self, decision: bool):
@@ -460,8 +462,13 @@ class MCMove(MCMCMove):
             None
             if thermodynamic_state.pressure is None
             else float(thermodynamic_state.pressure_md),
-            tuple(self.atom_subset) if getattr(self, "atom_subset", None)
-            else None,
+            # `is not None`, not truthiness: an array subset raises
+            # "truth value ... is ambiguous" in boolean context, and an
+            # empty subset ([]: all atoms frozen) must not alias the
+            # no-mask chain
+            None
+            if getattr(self, "atom_subset", None) is None
+            else tuple(np.asarray(self.atom_subset).ravel().tolist()),
             self.autotune,
             self.autotune_interval,
         )
@@ -565,6 +572,11 @@ class MCMove(MCMCMove):
         # whole record stream to host in ONE transfer -- per-element syncs
         # are prohibitively slow over a tunneled device link.
         if self.reporter is not None:
+            self._chain_volume = (
+                None
+                if carry.box_vectors is None
+                else float(jnp.prod(jnp.diagonal(carry.box_vectors)))
+            )
             host_records = jax.device_get(records)
             start = self._number_of_attempts_made
             for i in range(self.number_of_moves):
@@ -629,7 +641,11 @@ class MonteCarloDisplacementMove(MCMove):
         if self.atom_subset is not None:
             n = thermodynamic_state.nr_of_particles
             atom_mask = (
-                jnp.zeros(n).at[jnp.asarray(self.atom_subset)].set(1.0)
+                # int32 explicitly: an empty Python list would otherwise
+                # become a float32 indexer and raise
+                jnp.zeros(n)
+                .at[jnp.asarray(self.atom_subset, dtype=jnp.int32)]
+                .set(1.0)
             )
         return make_displacement_step_fn(
             reduced_fn,
@@ -642,12 +658,24 @@ class MonteCarloDisplacementMove(MCMove):
     def _report_record(self, idx, record, thermodynamic_state):
         beta = thermodynamic_state.beta_md
         u = float(record["reduced_potential"])
+        potential_energy = u / beta
+        if thermodynamic_state.pressure is not None and (
+            self._chain_volume is not None
+        ):
+            # u is the REDUCED potential: with a pressure it includes
+            # beta*P*V, which must be subtracted to report the pure
+            # potential energy (the barostat move's rows already do; the
+            # two move types share the reporter column).  Displacement
+            # moves never change the box, so the chain volume is constant.
+            potential_energy -= (
+                thermodynamic_state.pressure_md * self._chain_volume
+            )
         self.reporter.report(
             {
                 "step": idx,
                 "iteration": self._move_iteration,
                 "number_of_attempts_made": int(record["n_proposed"]),
-                "potential_energy": u / beta,
+                "potential_energy": potential_energy,
                 "displacement_sigma": float(record["param"]),
                 "acceptance_probability": float(record["n_accepted"])
                 / max(int(record["n_proposed"]), 1),

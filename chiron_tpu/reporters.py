@@ -341,13 +341,44 @@ class LangevinDynamicsReporter(_SimulationReporter):
                 self._write_xtc_file_handle = _mdtraj.formats.XTCTrajectoryFile(
                     self.xtc_file_path, mode="w"
                 )
-            self._write_xtc_file_handle.write(positions)
+            # parity with the native path: write the unit cell too, or a
+            # periodic run's .xtc carries zero boxes and PBC-aware
+            # analysis downstream silently misbehaves
+            box_arr = None
+            if boxes is not None and len(boxes) >= n_frames and all(
+                b is not None for b in boxes[:n_frames]
+            ):
+                box_arr = np.asarray(
+                    [np.asarray(b) for b in boxes[:n_frames]],
+                    dtype=np.float32,
+                )
+            self._write_xtc_file_handle.write(positions, box=box_arr)
 
     def read_from_trajectory(self) -> np.ndarray:
-        """Positions (n_frames, N, 3) in nm from the DCD file."""
+        """Positions (n_frames, N, 3) in nm: DCD-flushed frames plus any
+        still pending in the reporter buffer (so mid-run readers see every
+        reported frame, matching the scalar properties' pending-concat
+        semantics -- and a pre-first-flush read returns the buffered
+        frames instead of raising FileNotFoundError)."""
         if self._dcd_writer is not None:
             self._dcd_writer.flush()
-        return read_dcd(self.dcd_file_path) / 10.0
+        flushed = None
+        if os.path.exists(self.dcd_file_path):
+            flushed = read_dcd(self.dcd_file_path) / 10.0
+        pending = self.buffer.get("positions") or []
+        if pending:
+            p = np.array([np.asarray(v) for v in pending])
+            if flushed is None:
+                return p
+            if p.shape[1:] == flushed.shape[1:]:
+                return np.concatenate([flushed, p], axis=0)
+        if flushed is None:
+            log.warning(
+                "no trajectory frames written or buffered for %s",
+                self.dcd_file_path,
+            )
+            return None
+        return flushed
 
     def flush_buffer(self):
         super().flush_buffer()
@@ -391,6 +422,13 @@ class MultistateReporter(_SimulationReporter):
                 reporter.report(data)
 
     def flush_buffer(self):
+        # parent FIRST: super().flush_buffer() drains this reporter's
+        # pending frames INTO the per-replica child reporters
+        # (_write_to_trajectory -> child.report), so the children must be
+        # flushed afterwards or the final frames of every replica are
+        # stranded in their in-memory buffers.  (The reference has this
+        # ordering inverted, reference reporters.py:262-268.)
+        out = super().flush_buffer()
         for reporter in self._replica_reporter.values():
             reporter.flush_buffer()
-        return super().flush_buffer()
+        return out

@@ -348,3 +348,79 @@ def test_mc_chain_overflow_grows_capacity_and_retries():
     assert nl.n_max_neighbors > cap0
     e = fluid.potential.compute_energy(ss.positions, nl)
     assert bool(jnp.isfinite(e))
+
+
+def test_atom_subset_accepts_numpy_array():
+    """An array-typed atom_subset must work (the chain cache key used
+    truthiness, which raises 'truth value ... ambiguous' for arrays and
+    aliased an empty subset with the no-mask chain)."""
+    import numpy as np
+
+    PRNG.set_seed(7)
+    from chiron_tpu.potential import IdealGasPotential
+    from chiron_tpu.topology import Topology
+
+    top = Topology.uniform(3)
+    pot = IdealGasPotential(top)
+    ss = SamplerState(
+        positions=u.Quantity(jnp.zeros((3, 3)), u.nanometer),
+        current_PRNG_key=PRNG.get_random_key(),
+    )
+    ts = ThermodynamicState(potential=pot, temperature=300.0 * u.kelvin)
+    move = MonteCarloDisplacementMove(
+        displacement_sigma=0.1 * u.nanometer,
+        number_of_moves=10,
+        atom_subset=np.array([1]),
+    )
+    out, _, _ = move.update(ss, ts, None)
+    assert bool(jnp.all(out.positions[0] == 0.0))
+    assert not bool(jnp.all(out.positions[1] == 0.0))
+    # an EMPTY subset (all atoms frozen) must not alias the no-mask chain
+    # (update() writes back into its input state, so use a fresh one)
+    ss_fresh = SamplerState(
+        positions=u.Quantity(jnp.zeros((3, 3)), u.nanometer),
+        current_PRNG_key=PRNG.get_random_key(),
+    )
+    frozen = MonteCarloDisplacementMove(
+        displacement_sigma=0.1 * u.nanometer,
+        number_of_moves=10,
+        atom_subset=[],
+    )
+    out2, _, _ = frozen.update(ss_fresh, ts, None)
+    assert bool(jnp.all(out2.positions == 0.0))
+
+
+def test_displacement_npt_report_logs_pure_potential(tmp_path):
+    """With a pressure state, the displacement move's reported
+    potential_energy must be the pure potential (u/beta minus P*V), not
+    the full reduced potential's U + P*V."""
+    import numpy as np
+
+    from chiron_tpu.potential import IdealGasPotential
+    from chiron_tpu.reporters import BaseReporter, MCReporter
+    from chiron_tpu.topology import Topology
+
+    BaseReporter.set_directory(str(tmp_path))
+    PRNG.set_seed(3)
+    n = 8
+    top = Topology.uniform(n)
+    pot = IdealGasPotential(top)
+    box = u.Quantity(jnp.eye(3) * 2.0, u.nanometer)
+    ss = SamplerState(
+        positions=u.Quantity(jnp.zeros((n, 3)), u.nanometer),
+        current_PRNG_key=PRNG.get_random_key(),
+        box_vectors=box,
+    )
+    ts = ThermodynamicState(
+        potential=pot, temperature=300.0 * u.kelvin,
+        pressure=1.0 * u.atmosphere, volume=8.0 * u.nanometer ** 3,
+    )
+    rep = MCReporter("npt_disp", buffer_size=100)
+    move = MonteCarloDisplacementMove(
+        displacement_sigma=0.05 * u.nanometer, number_of_moves=10,
+        reporter=rep, report_interval=1,
+    )
+    move.update(ss, ts, None)
+    pe = np.asarray(rep.get_property("potential_energy"))
+    # ideal gas: U = 0 exactly; reporting U + P*V would give ~0.49 kJ/mol
+    assert np.allclose(pe, 0.0, atol=1e-5), pe

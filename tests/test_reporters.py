@@ -194,3 +194,121 @@ def test_parallel_tempering_reporter_integration(tmp_path):
     # per-replica trajectory fan-out wrote frames
     pos = reporter.get_property("positions")
     assert pos.shape[0] == 5 and pos.shape[1] == 4
+
+
+def test_multistate_final_frames_reach_replica_files(tmp_path):
+    """flush_buffer must drain the parent INTO the replica children
+    BEFORE flushing them: with child buffer_size > pending frames, the
+    last reported iteration was previously stranded in the children's
+    in-memory buffers and never written."""
+    BaseReporter.set_directory(str(tmp_path))
+    rep = MultistateReporter(buffer_size=10)  # nothing auto-flushes
+    rng = np.random.default_rng(1)
+    n_iter, n_replicas, n_atoms = 3, 2, 4
+    for t in range(n_iter):
+        rep.report(
+            {
+                "positions": rng.normal(size=(n_replicas, n_atoms, 3)),
+                "box_vectors": np.stack([np.eye(3) * 4.0] * n_replicas),
+                "u_kn": rng.normal(size=(2, n_replicas)),
+                "state_index": np.arange(n_replicas),
+                "step": t,
+            }
+        )
+    rep.flush_buffer()  # the ONE final flush a run performs
+    for r in range(n_replicas):
+        xyz = read_dcd(str(tmp_path / f"replica_{r}.dcd"))
+        assert xyz.shape[0] == n_iter, (r, xyz.shape)
+
+
+def test_langevin_positions_readable_before_first_flush(tmp_path):
+    """get_property('positions') must include buffered frames (and not
+    crash on the missing DCD) before the first flush, matching the
+    pending-concat semantics of the scalar properties."""
+    BaseReporter.set_directory(str(tmp_path))
+    rep = LangevinDynamicsReporter("preflush", buffer_size=100)
+    rng = np.random.default_rng(2)
+    frames = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(3)]
+    for i, f in enumerate(frames):
+        rep.report({"positions": f, "potential_energy": float(i), "step": i})
+    xyz = rep.get_property("positions")
+    assert xyz.shape == (3, 5, 3)
+    np.testing.assert_allclose(xyz, np.stack(frames), rtol=1e-6)
+    # after a flush the same read concatenates flushed + pending
+    rep.flush_buffer()
+    rep.report({"positions": frames[0], "potential_energy": 9.0, "step": 3})
+    xyz2 = rep.get_property("positions")
+    assert xyz2.shape == (4, 5, 3)
+
+
+def test_checkpoint_save_is_atomic_and_path_verbatim(tmp_path):
+    """A non-.npz path must round-trip (np.savez's silent suffix append
+    is bypassed), overwriting must go through a temp file, and no .tmp
+    litter survives."""
+    import jax.numpy as jnp
+    import os
+
+    path = str(tmp_path / "run.ckpt")  # no .npz suffix
+    save_checkpoint(path, {"a": jnp.arange(3.0)}, metadata={"i": 1})
+    assert os.path.exists(path) and not os.path.exists(path + ".npz")
+    assert not os.path.exists(path + ".tmp")
+    restored, meta = load_checkpoint(path, like={"a": jnp.zeros(3)})
+    assert meta["i"] == 1 and np.allclose(restored["a"], np.arange(3.0))
+    # overwrite in place keeps working
+    save_checkpoint(path, {"a": jnp.ones(3)}, metadata={"i": 2})
+    restored2, meta2 = load_checkpoint(path, like={"a": jnp.zeros(3)})
+    assert meta2["i"] == 2 and np.allclose(restored2["a"], 1.0)
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """Same leaf COUNT but different pytree STRUCTURE must raise instead
+    of silently permuting leaves into the wrong slots."""
+    import jax.numpy as jnp
+
+    path = str(tmp_path / "s.npz")
+    save_checkpoint(path, {"x": jnp.zeros((4, 3)), "v": jnp.ones((4, 3))})
+    with pytest.raises(ValueError, match="structure"):
+        load_checkpoint(path, like={"x": jnp.zeros((4, 3)),
+                                    "box": jnp.zeros((4, 3))})
+
+
+def test_sampler_checkpoint_restores_move_statistics(tmp_path):
+    """Autotuned sigma, acceptance statistics, and attempt counters
+    survive a save/load cycle when the move mapping is passed."""
+    import jax
+
+    from chiron_tpu import units as u
+    from chiron_tpu.mcmc import MonteCarloDisplacementMove
+    from chiron_tpu.states import SamplerState
+
+    state = SamplerState(
+        np.zeros((4, 3)) * u.nanometer,
+        current_PRNG_key=jax.random.PRNGKey(0),
+    )
+    move = MonteCarloDisplacementMove(
+        displacement_sigma=0.1 * u.nanometer, number_of_moves=10,
+        autotune=True,
+    )
+    move.n_accepted, move.n_proposed = 37, 50
+    move._number_of_attempts_made = 50
+    move._move_iteration = 5
+    move._set_param_value(0.271)
+    path = str(tmp_path / "mv.npz")
+    save_sampler_checkpoint(path, state, iteration=5,
+                            moves={"disp": move})
+
+    fresh_state = SamplerState(
+        np.ones((4, 3)) * u.nanometer,
+        current_PRNG_key=jax.random.PRNGKey(1),
+    )
+    fresh_move = MonteCarloDisplacementMove(
+        displacement_sigma=0.1 * u.nanometer, number_of_moves=10,
+        autotune=True,
+    )
+    meta = load_sampler_checkpoint(path, fresh_state,
+                                   moves={"disp": fresh_move})
+    assert meta["iteration"] == 5
+    assert fresh_move.n_accepted == 37 and fresh_move.n_proposed == 50
+    assert fresh_move._number_of_attempts_made == 50
+    assert fresh_move._move_iteration == 5
+    assert fresh_move._param_value() == pytest.approx(0.271)
