@@ -42,10 +42,10 @@ except subprocess.TimeoutExpired:
         "did not return within 600 s -- axon tunnel down?); aborting "
         "instead of hanging\n"
         "bench.py: NOT a fresh measurement -- for the record, the last "
-        "hardware measurement of this exact config was 15,032 steps/s "
-        "(vs_baseline 0.902), same-session interleaved, latch-safe over "
-        "21k steps; methodology + session log in BENCH.md (round-4 "
-        "drift-fold table) and /root/jobs/done/j68*.log\n"
+        "hardware measurement of this exact config was 15,098 steps/s "
+        "(vs_baseline 0.906, round-5 session 2026-08-19), best-of-5 x "
+        "3000-step windows, latch-checked; methodology in BENCH.md "
+        "(round-4 drift-fold table + round-5 record)\n"
     )
     sys.exit(2)
 if _probe.returncode != 0:
