@@ -907,14 +907,21 @@ def _npt_accept(k_acc, beta, P_md, n, U, U_new, V, V_new, box_ok):
     return jnp.log(jax.random.uniform(k_acc, minval=1e-38)) < log_ratio
 
 
-def _npt_autotune(vmax, n_acc, n_prop, interval):
+def _npt_autotune(vmax, n_acc, n_prop, interval, cap=0.3):
     """Reference barostat autotune (mcmc.py:902-911): /1.1 below 25%
-    cumulative acceptance, x1.1 above 75%, capped at 0.3."""
+    cumulative acceptance, x1.1 above 75%, capped at 0.3.
+
+    ``cap`` lets an engine tighten the reference's 0.3 ceiling to its own
+    operating envelope: the culled runner's rescaled-list barostat charges
+    ``|1-s|*reach`` of slack per evaluated shrink, so its proposals must
+    stay small enough that a whole segment's attempts fit the slack
+    budget (otherwise the autotuner drives itself into the drift latch in
+    high-acceptance regimes, e.g. dilute near-ideal systems)."""
     due = (n_prop % interval) == 0
     ratio = n_acc.astype(jnp.float32) / jnp.maximum(n_prop, 1)
     vmax = jnp.where(due & (ratio < 0.25), vmax / 1.1, vmax)
     return jnp.where(
-        due & (ratio > 0.75), jnp.minimum(vmax * 1.1, 0.3), vmax
+        due & (ratio > 0.75), jnp.minimum(vmax * 1.1, cap), vmax
     )
 
 
@@ -1034,11 +1041,24 @@ def make_culled_npt_lj_runner(
     reach = md.cutoff + md.slack
     approx = not exact_forces
     n_sub = segment_steps // barostat_interval
+    # Engine envelope for the autotuned proposal size: every evaluated
+    # box-valid shrink charges |1-s|*reach against the segment's slack
+    # budget (the Metropolis decision reads U_new off the rescaled stale
+    # list), so the n_sub attempts of one segment must together fit in
+    # HALF the slack -- the other half stays for thermal top-2 drift.
+    # Without this cap the reference autotune rule (x1.1 up to 0.3)
+    # drives high-acceptance regimes (dilute near-ideal gases) straight
+    # into the drift latch.  vmax is a proposal-distribution parameter,
+    # so capping it leaves detailed balance exactly intact.
+    _charge_cap = 0.5 * md.slack / n_sub
+    _s_min_attempt = max(1e-3, 1.0 - _charge_cap / reach)
+    vmax_cap = min(0.3, 1.0 - _s_min_attempt ** 3)
 
     class CulledNPTRunner:
         def __init__(self):
             self.md = md
             self.dense = dense
+            self.vmax_cap = vmax_cap
             self.seed = seed_default
             self.nslab = None
             self.capacity = None
@@ -1074,7 +1094,13 @@ def make_culled_npt_lj_runner(
                 s_total=jnp.float32(1.0),
                 s_min_frame=s_floor,
                 key=key,
-                vmax_scale=jnp.float32(volume_max_scale),
+                # under autotune the engine owns vmax: start inside the
+                # envelope.  With autotune off the user's value is taken
+                # verbatim (the drift latch still guards correctness).
+                vmax_scale=jnp.float32(
+                    min(volume_max_scale, vmax_cap) if autotune
+                    else volume_max_scale
+                ),
                 n_accepted=jnp.int32(0),
                 n_proposed=jnp.int32(0),
             )
@@ -1132,7 +1158,8 @@ def make_culled_npt_lj_runner(
             n_prop = carry.n_proposed + 1
             vmax = carry.vmax_scale
             if autotune:
-                vmax = _npt_autotune(vmax, n_acc, n_prop, autotune_interval)
+                vmax = _npt_autotune(vmax, n_acc, n_prop, autotune_interval,
+                                     cap=vmax_cap)
             return CullNPTCarry(
                 x=sel(x_new, carry.x), v=carry.v,
                 F=sel(F_new, carry.F),

@@ -117,6 +117,35 @@ def _make_culled(n=125, rho=0.1, P_atm=50.0, interval=10, segment=20,
     return r, st
 
 
+def test_culled_npt_autotune_capped_to_slack_envelope():
+    """The autotuned proposal size must stay inside the engine's slack
+    envelope: every evaluated shrink charges |1-s|*reach against the
+    segment's drift budget, so n_sub worst-case attempts must fit in
+    half the slack.  Without the cap the reference x1.1-up-to-0.3 rule
+    drives high-acceptance (dilute near-ideal) systems into the drift
+    latch (found by test_culled_npt_mean_volume_matches_ensemble_
+    expectation latching once rejected shrinks started charging)."""
+    r, st = _make_culled(n=125, rho=0.05, P_atm=1.0, interval=5,
+                         segment=10)
+    reach = r.md.cutoff + r.md.slack
+    n_sub = 2  # segment=10 / interval=5
+    charge_cap = 0.5 * r.md.slack / n_sub
+    expect = min(0.3, 1.0 - (1.0 - charge_cap / reach) ** 3)
+    assert r.vmax_cap == pytest.approx(expect)
+    # worst-case per-segment charge fits half the slack
+    s_min = (1.0 - r.vmax_cap) ** (1.0 / 3.0)
+    assert n_sub * (1.0 - s_min) * reach <= 0.5 * r.md.slack + 1e-6
+    # init starts inside the envelope even if the user's value is above
+    r2, st2 = _make_culled(n=125, rho=0.05, P_atm=1.0, interval=5,
+                           segment=10, volume_max_scale=0.3)
+    assert float(st2.vmax_scale) == pytest.approx(r2.vmax_cap)
+    # autotune off: the user's value is taken verbatim
+    r3, st3 = _make_culled(n=125, rho=0.05, P_atm=1.0, interval=5,
+                           segment=10, volume_max_scale=0.3,
+                           autotune=False)
+    assert float(st3.vmax_scale) == pytest.approx(0.3)
+
+
 @pytest.mark.slow
 def test_culled_npt_mechanics():
     r, st = _make_culled()
